@@ -1,0 +1,67 @@
+"""Depth-derived observation channels — discretization and Gaussian smoothing.
+
+Replaces the reference's per-sample CPU preprocessing with fully batched,
+jittable array ops:
+
+- depth discretization: 10-bin one-hot over normalized depth [0, 1]
+  (reference: ``vo/dataset/regression_iter_dataset.py:32-69`` and
+  ``rl/common/base_trainer_with_vo.py:135-167``);
+- 3x3 Gaussian blur matching ``cv2.GaussianBlur(ksize=3, sigma=0,
+  borderType=cv2.BORDER_ISOLATED)`` (reference: ``utils/geometry_utils.py:310-316``).
+  With sigma=0 and ksize=3 OpenCV uses the fixed separable kernel
+  [0.25, 0.5, 0.25]; BORDER_ISOLATED(=16) aliases BORDER_CONSTANT|ISOLATED,
+  i.e. zero padding restricted to the ROI.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# OpenCV's fixed 3-tap Gaussian for ksize=3, sigma<=0 (see cv::getGaussianKernel).
+_CV2_K3 = jnp.asarray([0.25, 0.5, 0.25], dtype=jnp.float32)
+
+
+def discretize_depth(depth: jax.Array, n_channels: int = 10) -> jax.Array:
+    """Hard-bin normalized depth into a one-hot [..., n_channels] volume.
+
+    Bin i covers [i/n, (i+1)/n) with the last bin closed at 1.0 — identical to
+    the reference's boundary handling (regression_iter_dataset.py:50-61:
+    ``>= lower & < upper`` for all but the last bin, ``<= 1.0`` for the last).
+    ``floor(d * n)`` reproduces this exactly once d == 1.0 is clipped into the
+    last bin; the one-hot rows always sum to 1, matching the reference's
+    exactness assert (``sum(one_hot) == numel``).
+    """
+    idx = jnp.clip(jnp.floor(depth * n_channels).astype(jnp.int32), 0, n_channels - 1)
+    return jax.nn.one_hot(idx, n_channels, dtype=depth.dtype)
+
+
+def gaussian_blur_3x3(img: jax.Array) -> jax.Array:
+    """Depthwise 3x3 blur with zero padding, batched over leading dims.
+
+    ``img``: [..., H, W].  Matches cv2.GaussianBlur(ksize=3, sigmaX=0,
+    borderType=BORDER_ISOLATED) applied to a zero-bordered crop: because the
+    reference first strips all-zero border rows/cols and then blurs the crop
+    with isolated (zero) borders, blurring the *full* image with zero padding
+    yields bit-identical values at every in-crop pixel (the stripped border
+    rows/cols are all-zero, so they contribute exactly what zero padding
+    would).  This removes the data-dependent crop from the compute graph.
+    """
+    k = _CV2_K3.astype(img.dtype)
+    batch_shape = img.shape[:-2]
+    h, w = img.shape[-2:]
+    x = img.reshape((-1, h, w))[..., None]  # [N, H, W, 1]
+    kh = k.reshape(3, 1, 1, 1)
+    kw = k.reshape(1, 3, 1, 1)
+    dn = jax.lax.conv_dimension_numbers(x.shape, (3, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
+    # full-precision accumulation: the blurred depth feeds integer binning, so
+    # bf16 rounding would shift points across top-down cells
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), [(1, 1), (0, 0)], dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    x = jax.lax.conv_general_dilated(
+        x, kw, (1, 1), [(0, 0), (1, 1)], dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return x[..., 0].reshape(*batch_shape, h, w)
