@@ -1,0 +1,237 @@
+"""GroupNorm ResNet family (flax.linen, NHWC) — habitat-baselines style.
+
+Functional re-design of the reference's from-scratch ResNet
+(``pointnav_vo/model_utils/visual_encoders/resnet.py:29-286``): BasicBlock /
+Bottleneck / SE / ResNeXt blocks, GroupNorm everywhere (batch-size independent
+— deliberate for tiny per-chip RL batches), overall stride 1/32.
+
+TPU notes:
+- NHWC layout end to end (TPU conv native layout; channels ride the 128-lane
+  minor dimension).
+- ``dtype`` controls activation/compute precision (bfloat16 on TPU keeps the
+  convs on the MXU); parameters stay float32.
+- Deterministic module naming (``layer{i}_{j}``, ``conv1``/``gn1``…) gives the
+  PyTorch checkpoint importer (io/torch_import.py) a stable key map.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class SEModule(nn.Module):
+    """Squeeze-excitation gate (reference resnet.py:71-92)."""
+
+    channels: int
+    r: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # squeeze: global average pool over H, W
+        s = jnp.mean(x, axis=(1, 2))
+        s = nn.Dense(self.channels // self.r, dtype=self.dtype, name="fc1")(s)
+        s = nn.relu(s)
+        s = nn.Dense(self.channels, dtype=self.dtype, name="fc2")(s)
+        s = nn.sigmoid(s)
+        return x * s[:, None, None, :]
+
+
+class BasicBlock(nn.Module):
+    """conv3x3-GN-ReLU-conv3x3-GN + residual (reference resnet.py:29-55)."""
+
+    planes: int
+    ngroups: int
+    stride: int = 1
+    has_downsample: bool = False
+    cardinality: int = 1
+    dtype: Any = jnp.float32
+
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = nn.Conv(
+            self.planes, (3, 3), strides=self.stride, padding=1, use_bias=False,
+            feature_group_count=self.cardinality, dtype=self.dtype, name="conv1",
+        )(x)
+        y = nn.GroupNorm(num_groups=self.ngroups, dtype=self.dtype, name="gn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.planes, (3, 3), padding=1, use_bias=False,
+            feature_group_count=self.cardinality, dtype=self.dtype, name="conv2",
+        )(y)
+        y = nn.GroupNorm(num_groups=self.ngroups, dtype=self.dtype, name="gn2")(y)
+        if self.has_downsample:
+            residual = nn.Conv(
+                self.planes * self.expansion, (1, 1), strides=self.stride,
+                use_bias=False, dtype=self.dtype, name="down_conv",
+            )(x)
+            residual = nn.GroupNorm(
+                num_groups=self.ngroups, dtype=self.dtype, name="down_gn"
+            )(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride) -> 1x1 bottleneck (reference resnet.py:58-120)."""
+
+    planes: int
+    ngroups: int
+    stride: int = 1
+    has_downsample: bool = False
+    cardinality: int = 1
+    dtype: Any = jnp.float32
+    use_se: bool = False
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.GroupNorm(num_groups=self.ngroups, dtype=self.dtype, name="gn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.planes, (3, 3), strides=self.stride, padding=1, use_bias=False,
+            feature_group_count=self.cardinality, dtype=self.dtype, name="conv2",
+        )(y)
+        y = nn.GroupNorm(num_groups=self.ngroups, dtype=self.dtype, name="gn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.planes * self.expansion, (1, 1), use_bias=False, dtype=self.dtype,
+            name="conv3",
+        )(y)
+        y = nn.GroupNorm(num_groups=self.ngroups, dtype=self.dtype, name="gn3")(y)
+        if self.use_se:
+            y = SEModule(self.planes * self.expansion, dtype=self.dtype, name="se")(y)
+        if self.has_downsample:
+            identity = nn.Conv(
+                self.planes * self.expansion, (1, 1), strides=self.stride,
+                use_bias=False, dtype=self.dtype, name="down_conv",
+            )(x)
+            identity = nn.GroupNorm(
+                num_groups=self.ngroups, dtype=self.dtype, name="down_gn"
+            )(identity)
+        return nn.relu(y + identity)
+
+
+class ResNeXtBottleneck(Bottleneck):
+    expansion = 2
+
+
+class GNResNet(nn.Module):
+    """GroupNorm ResNet backbone; overall spatial compression 1/32.
+
+    ``block``: "basic" | "bottleneck" | "resnext" (optionally with ``use_se``).
+    Matches the reference's layer plan (resnet.py:153-223): 7x7/2 stem + GN +
+    ReLU, 3x3/2 max-pool, then 4 stages at widths base*(1,2,4,8) with stride-2
+    transitions (ResNeXt doubles the stage width, halves expansion).
+    """
+
+    base_planes: int = 32
+    ngroups: int = 16
+    block: str = "basic"
+    layers: Sequence[int] = (2, 2, 2, 2)
+    cardinality: int = 1
+    use_se: bool = False
+    dtype: Any = jnp.float32
+
+    final_spatial_compress: float = 1.0 / 32
+
+    @property
+    def block_cls(self) -> Callable:
+        return {"basic": BasicBlock, "bottleneck": Bottleneck, "resnext": ResNeXtBottleneck}[
+            self.block
+        ]
+
+    @property
+    def final_channels(self) -> int:
+        base = self.base_planes * (2 if self.block == "resnext" else 1)
+        return base * 8 * self.block_cls.expansion
+
+    @nn.compact
+    def __call__(self, x):
+        block_cls = self.block_cls
+        x = nn.Conv(
+            self.base_planes, (7, 7), strides=2, padding=3, use_bias=False,
+            dtype=self.dtype, name="conv1",
+        )(x)
+        x = nn.GroupNorm(num_groups=self.ngroups, dtype=self.dtype, name="gn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        inplanes = self.base_planes
+        stage_base = self.base_planes * (2 if self.block == "resnext" else 1)
+        for stage, n_blocks in enumerate(self.layers):
+            planes = stage_base * (2 ** stage)
+            stride = 1 if stage == 0 else 2
+            for j in range(n_blocks):
+                s = stride if j == 0 else 1
+                needs_down = j == 0 and (s != 1 or inplanes != planes * block_cls.expansion)
+                kwargs = dict(
+                    planes=planes,
+                    ngroups=self.ngroups,
+                    stride=s,
+                    has_downsample=needs_down,
+                    cardinality=self.cardinality,
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_{j}",
+                )
+                if block_cls is not BasicBlock:
+                    kwargs["use_se"] = self.use_se
+                x = block_cls(**kwargs)(x)
+                inplanes = planes * block_cls.expansion
+        return x
+
+
+def resnet18(base_planes=32, ngroups=16, dtype=jnp.float32) -> GNResNet:
+    return GNResNet(base_planes=base_planes, ngroups=ngroups, block="basic",
+                    layers=(2, 2, 2, 2), dtype=dtype)
+
+
+def resnet50(base_planes=32, ngroups=16, dtype=jnp.float32) -> GNResNet:
+    return GNResNet(base_planes=base_planes, ngroups=ngroups, block="bottleneck",
+                    layers=(3, 4, 6, 3), dtype=dtype)
+
+
+def resnet101(base_planes=32, ngroups=16, dtype=jnp.float32) -> GNResNet:
+    return GNResNet(base_planes=base_planes, ngroups=ngroups, block="bottleneck",
+                    layers=(3, 4, 23, 3), dtype=dtype)
+
+
+def resneXt50(base_planes=32, ngroups=16, dtype=jnp.float32) -> GNResNet:
+    return GNResNet(base_planes=base_planes, ngroups=ngroups, block="resnext",
+                    layers=(3, 4, 6, 3), cardinality=base_planes // 2, dtype=dtype)
+
+
+def se_resnet50(base_planes=32, ngroups=16, dtype=jnp.float32) -> GNResNet:
+    return GNResNet(base_planes=base_planes, ngroups=ngroups, block="bottleneck",
+                    layers=(3, 4, 6, 3), use_se=True, dtype=dtype)
+
+
+def se_resneXt50(base_planes=32, ngroups=16, dtype=jnp.float32) -> GNResNet:
+    return GNResNet(base_planes=base_planes, ngroups=ngroups, block="resnext",
+                    layers=(3, 4, 6, 3), cardinality=base_planes // 2, use_se=True,
+                    dtype=dtype)
+
+
+def se_resneXt101(base_planes=32, ngroups=16, dtype=jnp.float32) -> GNResNet:
+    return GNResNet(base_planes=base_planes, ngroups=ngroups, block="resnext",
+                    layers=(3, 4, 23, 3), cardinality=base_planes // 2, use_se=True,
+                    dtype=dtype)
+
+
+BACKBONES = {
+    "resnet18": resnet18,
+    "resnet50": resnet50,
+    "resnet101": resnet101,
+    "resneXt50": resneXt50,
+    "se_resnet50": se_resnet50,
+    "se_resneXt50": se_resneXt50,
+    "se_resneXt101": se_resneXt101,
+}

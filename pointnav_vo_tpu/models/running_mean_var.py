@@ -1,0 +1,64 @@
+"""Per-channel running input whitening (functional flax port).
+
+Mirrors the reference ``model_utils/running_mean_and_var.py:13-63``: batch
+statistics are per-sample spatial means averaged over the batch, merged into
+the running buffers with Chan's parallel-variance formula, and the stddev is
+floored at 0.1 (var floored at 1e-2).
+
+TPU-native twist: the reference's ``torch.distributed.all_reduce`` of the
+batch stats (:27-38) becomes a ``jax.lax.psum`` over the data-parallel mesh
+axis when ``axis_name`` is set — the collective is part of the jitted graph
+and rides ICI instead of NCCL.
+
+State lives in the ``batch_stats`` flax collection: {mean[C], var[C], count[]}.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class RunningMeanAndVar(nn.Module):
+    channels: int
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, update_stats: bool = False) -> jax.Array:
+        # x: [B, H, W, C]
+        mean = self.variable("batch_stats", "mean", jnp.zeros, (self.channels,))
+        var = self.variable("batch_stats", "var", jnp.zeros, (self.channels,))
+        count = self.variable("batch_stats", "count", jnp.zeros, ())
+
+        if update_stats:
+            xf = x.astype(jnp.float32)
+            new_mean = jnp.sum(jnp.mean(xf, axis=(1, 2)), axis=0)  # [C]
+            new_count = jnp.asarray(x.shape[0], jnp.float32)
+            if self.axis_name is not None:
+                new_mean = jax.lax.psum(new_mean, self.axis_name)
+                new_count = jax.lax.psum(new_count, self.axis_name)
+            new_mean = new_mean / new_count
+
+            sq = (xf - new_mean) ** 2
+            new_var = jnp.sum(jnp.mean(sq, axis=(1, 2)), axis=0)
+            if self.axis_name is not None:
+                new_var = jax.lax.psum(new_var, self.axis_name)
+            new_var = new_var / new_count
+
+            old_count = count.value
+            tot = old_count + new_count
+            m2 = (
+                var.value * old_count
+                + new_var * new_count
+                + (new_mean - mean.value) ** 2 * old_count * new_count / tot
+            )
+            var.value = m2 / tot
+            mean.value = (old_count * mean.value + new_count * new_mean) / tot
+            count.value = tot
+
+        stdev = jnp.sqrt(jnp.maximum(var.value, 1e-2))
+        return ((x.astype(jnp.float32) - mean.value) / stdev).astype(self.dtype)
