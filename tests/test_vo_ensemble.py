@@ -1,0 +1,123 @@
+"""Tests for the stacked-expert VO ensemble and fused preprocessing."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pointnav_vo_tpu.ops.depth import discretize_depth
+from pointnav_vo_tpu.ops.topdown import top_down_view_batch
+from pointnav_vo_tpu.vo.ensemble import (
+    VOEnsemble,
+    VOInferenceConfig,
+    preprocess_obs_pairs,
+    stack_expert_variables,
+)
+from _utils import fast_init
+
+_CACHE = {}
+
+CFG = VOInferenceConfig(vis_size_w=64, vis_size_h=48)
+
+
+def _make_ensemble(seed=0):
+    if "ens" not in _CACHE:
+        model = CFG.make_model()
+        obs = _dummy_obs(2)
+        per_action = [fast_init(model, obs, train=False, seed=s) for s in range(3)]
+        _CACHE["ens"] = (
+            VOEnsemble(CFG, stack_expert_variables(per_action)), model, per_action
+        )
+    return _CACHE["ens"]
+
+
+def _dummy_obs(batch, seed=1):
+    rng = np.random.default_rng(seed)
+    return {
+        "rgb": jnp.asarray(rng.uniform(0, 255, size=(batch, 48, 64, 6)), jnp.float32),
+        "depth": jnp.asarray(rng.uniform(0, 1, size=(batch, 48, 64, 2)), jnp.float32),
+        "discretized_depth": jnp.asarray(
+            rng.integers(0, 2, size=(batch, 48, 64, 20)), jnp.float32
+        ),
+        "top_down_view": jnp.asarray(rng.uniform(0, 1, size=(batch, 48, 64, 2)), jnp.float32),
+    }
+
+
+def test_preprocess_obs_pairs_matches_direct_ops():
+    rng = np.random.default_rng(2)
+    b = 3
+    prev_rgb = jnp.asarray(rng.uniform(0, 255, size=(b, 48, 64, 3)), jnp.float32)
+    cur_rgb = jnp.asarray(rng.uniform(0, 255, size=(b, 48, 64, 3)), jnp.float32)
+    prev_depth = jnp.asarray(rng.uniform(0, 1, size=(b, 48, 64, 1)), jnp.float32)
+    cur_depth = jnp.asarray(rng.uniform(0, 1, size=(b, 48, 64, 1)), jnp.float32)
+
+    obs = preprocess_obs_pairs(prev_rgb, prev_depth, cur_rgb, cur_depth, CFG)
+    assert obs["rgb"].shape == (b, 48, 64, 6)
+    assert obs["depth"].shape == (b, 48, 64, 2)
+    assert obs["discretized_depth"].shape == (b, 48, 64, 20)
+    assert obs["top_down_view"].shape == (b, 48, 64, 2)
+
+    np.testing.assert_array_equal(
+        np.asarray(obs["discretized_depth"][..., :10]),
+        np.asarray(discretize_depth(prev_depth[..., 0], 10)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(obs["top_down_view"][..., 0]),
+        np.asarray(top_down_view_batch(prev_depth[..., 0], CFG.topdown_params)),
+    )
+    # one-hot exactness, the reference's own invariant
+    np.testing.assert_array_equal(
+        np.asarray(obs["discretized_depth"].sum(-1)), 2.0 * np.ones((b, 48, 64))
+    )
+
+
+def test_det_mode_selects_expert_by_action():
+    ensemble, model, per_action = _make_ensemble()
+    b = 2
+    obs = _dummy_obs(b)
+    actions = jnp.asarray([1, 3], jnp.int32)
+
+    delta, std = ensemble.predict(obs, actions)
+    assert delta.shape == (b, 3)
+    np.testing.assert_array_equal(np.asarray(std), 0.0)
+
+    for expert, act in enumerate((1, 2, 3)):
+        want = model.apply(per_action[expert], obs, train=False)
+        sel = np.flatnonzero(np.asarray(actions) == act)
+        np.testing.assert_allclose(
+            np.asarray(delta)[sel], np.asarray(want)[sel], atol=1e-6
+        )
+
+
+def test_rnd_mode_dropout_ensemble():
+    cfg = VOInferenceConfig(vis_size_w=64, vis_size_h=48, mode="rnd", rnd_mode_n=4)
+    base, _, _ = _make_ensemble()
+    obs = _dummy_obs(2)
+    ens = VOEnsemble(cfg, base.variables)
+
+    actions = jnp.asarray([1, 2], jnp.int32)
+    rng = jax.random.PRNGKey(7)
+    delta, std = ens.predict(obs, actions, rng=rng)
+    assert delta.shape == (2, 3) and std.shape == (2, 3)
+    assert float(jnp.max(std)) > 0.0  # dropout produces spread
+    # deterministic given the same rng
+    delta2, std2 = ens.predict(obs, actions, rng=rng)
+    np.testing.assert_array_equal(np.asarray(delta), np.asarray(delta2))
+
+
+def test_full_api_fused():
+    ensemble, _, _ = _make_ensemble()
+    rng = np.random.default_rng(4)
+    b = 2
+    prev_rgb = jnp.asarray(rng.uniform(0, 255, size=(b, 48, 64, 3)), jnp.float32)
+    cur_rgb = jnp.asarray(rng.uniform(0, 255, size=(b, 48, 64, 3)), jnp.float32)
+    prev_depth = jnp.asarray(rng.uniform(0, 1, size=(b, 48, 64, 1)), jnp.float32)
+    cur_depth = jnp.asarray(rng.uniform(0, 1, size=(b, 48, 64, 1)), jnp.float32)
+    actions = jnp.asarray([1, 3], jnp.int32)
+
+    delta, std, extra = ensemble.compute_local_delta_states_from_vo(
+        prev_rgb, prev_depth, cur_rgb, cur_depth, actions
+    )
+    assert delta.shape == (b, 3)
+    assert extra["ego_top_down_view"].shape == (b, 48, 64, 2)
+    assert np.all(np.isfinite(np.asarray(delta)))
