@@ -28,23 +28,29 @@ class RunningMeanAndVar(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, update_stats: bool = False) -> jax.Array:
-        # x: [B, H, W, C]
+    def __call__(self, x: jax.Array, update_stats: bool = False,
+                 stats_mask: Optional[jax.Array] = None) -> jax.Array:
+        """x: [B, H, W, C]. ``stats_mask`` [B] restricts which samples feed the
+        running statistics (used when several stacked experts share a batch
+        but must only learn stats from their own action's samples — the
+        reference's per-action sub-batch forward, engine:569-588)."""
         mean = self.variable("batch_stats", "mean", jnp.zeros, (self.channels,))
         var = self.variable("batch_stats", "var", jnp.zeros, (self.channels,))
         count = self.variable("batch_stats", "count", jnp.zeros, ())
 
         if update_stats:
             xf = x.astype(jnp.float32)
-            new_mean = jnp.sum(jnp.mean(xf, axis=(1, 2)), axis=0)  # [C]
-            new_count = jnp.asarray(x.shape[0], jnp.float32)
+            m = jnp.ones(x.shape[0]) if stats_mask is None else stats_mask.astype(jnp.float32)
+            new_mean = jnp.sum(jnp.mean(xf, axis=(1, 2)) * m[:, None], axis=0)  # [C]
+            new_count = jnp.sum(m)
             if self.axis_name is not None:
                 new_mean = jax.lax.psum(new_mean, self.axis_name)
                 new_count = jax.lax.psum(new_count, self.axis_name)
+            new_count = jnp.maximum(new_count, 1e-6)
             new_mean = new_mean / new_count
 
             sq = (xf - new_mean) ** 2
-            new_var = jnp.sum(jnp.mean(sq, axis=(1, 2)), axis=0)
+            new_var = jnp.sum(jnp.mean(sq, axis=(1, 2)) * m[:, None], axis=0)
             if self.axis_name is not None:
                 new_var = jax.lax.psum(new_var, self.axis_name)
             new_var = new_var / new_count

@@ -83,7 +83,8 @@ class VOEncoder(nn.Module):
         return (ch, fh, fw)
 
     @nn.compact
-    def __call__(self, obs_pairs: Dict[str, jax.Array], update_stats: bool = False):
+    def __call__(self, obs_pairs: Dict[str, jax.Array], update_stats: bool = False,
+                 stats_mask=None):
         prev_parts, cur_parts = [], []
         if "rgb" in self.observation_space:
             p, c = _pair_split(obs_pairs["rgb"].astype(self.dtype) / 255.0)
@@ -107,7 +108,7 @@ class VOEncoder(nn.Module):
             x = RunningMeanAndVar(
                 self.input_channels, axis_name=self.update_stats_axis,
                 dtype=self.dtype, name="rmv",
-            )(x, update_stats=update_stats)
+            )(x, update_stats=update_stats, stats_mask=stats_mask)
 
         backbone = resnet_lib.BACKBONES[self.backbone](
             base_planes=self.baseplanes, ngroups=self.baseplanes // 2, dtype=self.dtype
@@ -143,7 +144,8 @@ class VOCNN(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, obs_pairs, train: bool = False, update_stats: bool = False):
+    def __call__(self, obs_pairs, train: bool = False, update_stats: bool = False,
+                 stats_mask=None):
         x = VOEncoder(
             observation_space=self.observation_space,
             observation_size=self.observation_size,
@@ -155,7 +157,7 @@ class VOCNN(nn.Module):
             update_stats_axis=self.update_stats_axis,
             dtype=self.dtype,
             name="visual_encoder",
-        )(obs_pairs, update_stats=update_stats)
+        )(obs_pairs, update_stats=update_stats, stats_mask=stats_mask)
         x = _flatten_chw(x)
         x = nn.Dropout(self.dropout_p, deterministic=not train)(x)
         x = nn.Dense(self.hidden_size, dtype=self.dtype, name="visual_fc")(x)
@@ -187,7 +189,8 @@ class VOCNNActEmbed(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, obs_pairs, actions, train: bool = False, update_stats: bool = False):
+    def __call__(self, obs_pairs, actions, train: bool = False, update_stats: bool = False,
+                 stats_mask=None):
         act_embed = nn.Embed(self.n_acts + 1, EMBED_DIM, dtype=self.dtype,
                              name="action_embedding")(actions)
         x = VOEncoder(
@@ -201,7 +204,7 @@ class VOCNNActEmbed(nn.Module):
             update_stats_axis=self.update_stats_axis,
             dtype=self.dtype,
             name="visual_encoder",
-        )(obs_pairs, update_stats=update_stats)
+        )(obs_pairs, update_stats=update_stats, stats_mask=stats_mask)
         x = jnp.concatenate([_flatten_chw(x), act_embed], axis=-1)
         x = nn.Dropout(self.dropout_p, deterministic=not train)(x)
         x = nn.Dense(self.hidden_size, dtype=self.dtype, name="hidden_generator")(x)

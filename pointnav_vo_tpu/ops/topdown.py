@@ -77,11 +77,10 @@ def _crop_bounds(mask_any: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def top_down_view(depth: jax.Array, params: TopDownParams = TopDownParams()) -> jax.Array:
-    """Project one normalized depth map [H, W] to a top-down view [H, W].
-
-    Returns float32 in [0, 1].  Use :func:`top_down_view_batch` for batches.
-    """
+def top_down_counts(depth: jax.Array, params: TopDownParams = TopDownParams()) -> jax.Array:
+    """Raw per-cell point counts [H, W] before normalization (testing hook —
+    normalization divides by the max count, so a single point crossing a bin
+    boundary under a different float backend rescales the whole view)."""
     h, w = params.vis_size_h, params.vis_size_w
     assert depth.shape == (h, w), f"expected {(h, w)}, got {depth.shape}"
     depth = depth.astype(jnp.float32)
@@ -133,7 +132,9 @@ def top_down_view(depth: jax.Array, params: TopDownParams = TopDownParams()) -> 
 
     in_grid = (pix_r >= 0) & (pix_r < h) & (pix_c >= 0) & (pix_c < w)
     keep = valid & in_grid
-    flat = jnp.where(keep, pix_r * w + pix_c, -1)
+    # sentinel must be positive-OOB: negative scatter indices WRAP (numpy
+    # semantics) instead of being dropped
+    flat = jnp.where(keep, pix_r * w + pix_c, h * w)
 
     counts = (
         jnp.zeros((h * w,), jnp.float32)
@@ -141,9 +142,18 @@ def top_down_view(depth: jax.Array, params: TopDownParams = TopDownParams()) -> 
         .add(1.0, mode="drop")
         .reshape(h, w)
     )
+    return counts
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def top_down_view(depth: jax.Array, params: TopDownParams = TopDownParams()) -> jax.Array:
+    """Project one normalized depth map [H, W] to a top-down view [H, W].
+
+    Returns float32 in [0, 1].  Use :func:`top_down_view_batch` for batches.
+    """
+    counts = top_down_counts(depth, params)
     bound = jnp.max(counts)
-    view = jnp.where(bound > 0, jnp.minimum(counts / jnp.maximum(bound, 1.0), 1.0), 0.0)
-    return view
+    return jnp.where(bound > 0, jnp.minimum(counts / jnp.maximum(bound, 1.0), 1.0), 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))

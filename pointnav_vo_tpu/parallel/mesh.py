@@ -1,0 +1,69 @@
+"""Device mesh + sharding helpers — the NCCL/DDP replacement.
+
+The reference's distributed layer (``rl/ddppo/algo/ddp_utils.py:117-161``
+TCPStore rendezvous, ``ddppo.py`` DDP wrapper + all_reduces) maps onto JAX
+SPMD (SURVEY.md §5.8):
+
+- rendezvous            -> ``jax.distributed.initialize`` (multi-host) /
+                            nothing (single host, all local devices visible);
+- DDP grad all-reduce   -> ``pmean(grads)`` inside the jitted update;
+- stats all_reduce      -> ``psum`` of (sum, sumsq, count);
+- PrefixStore straggler counter -> unnecessary: rollouts are fixed-T and the
+  update is a lockstep SPMD program over the mesh.
+
+One mesh axis ("data") is all this workload needs — there is no tensor/
+pipeline/sequence parallelism in PointNav-VO (SURVEY.md §2.8); batch and env
+axes shard across chips, parameters replicate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
+    spec = [None] * (batch_axis + 1)
+    spec[batch_axis] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_batch(tree, mesh: Mesh, batch_axis: int = 0):
+    """Place every array in the tree with its batch axis split over the mesh."""
+    sh = batch_sharding(mesh, batch_axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def replicate(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def rollout_pspec(rollouts):
+    """PartitionSpecs sharding the env axis of a RolloutStorage pytree.
+
+    Rollout arrays are [T(+1), N, ...] except hidden_states [T+1, L, N, H].
+    """
+    def spec(path, x):
+        names = [getattr(p, "name", None) for p in path]
+        if "hidden_states" in names:
+            return P(None, None, DATA_AXIS)
+        return P(None, DATA_AXIS)
+
+    return jax.tree_util.tree_map_with_path(spec, rollouts)

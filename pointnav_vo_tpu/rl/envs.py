@@ -1,0 +1,336 @@
+"""Environment layer: vectorized PointNav envs + reward shaping.
+
+Three pieces, mirroring the reference's env stack
+(``rl/common/environments.py:35-100``, ``rl/common/env_utils.py:16-99``):
+
+1. :class:`ScriptedPointNavEnv` — a habitat-free PointNav world used for
+   integration tests, the eval harness, and dataset generation smoke paths
+   (SURVEY.md §4 item 3).  The agent lives in a circular room with textured
+   walls; depth is closed-form ray casting, RGB is a wall-angle-keyed stripe
+   texture (view-dependent, so VO is learnable).  Actions/noise mirror the
+   Challenge-2020 task: 0.25 m forward, 30 deg turns, optional Gaussian
+   actuation noise (a stand-in for habitat's pyrobot LoCoBot noise), RGB
+   Gaussian sensor noise (intensity 0.1) and depth noise growing with range
+   (a stand-in for Redwood).  Metrics: distance_to_goal / success / SPL /
+   SoftSPL / collisions, plus the ground-truth local delta per step — the
+   same ``extra_infos["delta"]`` the reference's ModifiedTopDownMap measure
+   exposes for VO-error accounting (vis/modified_measurement.py:283-294).
+2. :class:`VectorEnv` — synchronous fan-out over N env instances with
+   batched numpy observations (device-ready arrays, one host->TPU transfer
+   per step).
+3. :func:`make_habitat_vector_env` — adapter to a real habitat installation
+   (scene-split logic of env_utils.py:38-73), import-gated since habitat-sim
+   is a CPU-side C++ dependency not present in the TPU image.
+
+Reward shaping (NavRLEnv.get_reward, environments.py:62-73):
+``SLACK + (prev_dist - cur_dist) + SUCCESS_REWARD * success``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pointnav_vo_tpu.common import MOVE_FORWARD, STOP, TURN_LEFT, TURN_RIGHT
+
+
+@dataclasses.dataclass
+class EnvConfig:
+    image_h: int = 192
+    image_w: int = 341
+    hfov_deg: float = 70.0
+    min_depth: float = 0.1
+    max_depth: float = 10.0
+    forward_step: float = 0.25
+    turn_angle_deg: float = 30.0
+    max_episode_steps: int = 500
+    success_distance: float = 0.36
+    slack_reward: float = -0.01
+    success_reward: float = 2.5
+    # noise (0 disables)
+    actuation_noise_multiplier: float = 0.5
+    rgb_noise_intensity: float = 0.1
+    depth_noise_multiplier: float = 1.0
+    room_radius_range: Tuple[float, float] = (3.0, 8.0)
+    seed: int = 0
+
+
+def _polar_goal(agent_pos, agent_yaw, goal_pos) -> np.ndarray:
+    """Habitat pointgoal_with_gps_compass encoding [rho, -phi].
+
+    World frame: (x, z) with the agent facing -z at yaw 0; yaw rotates about
+    +y.  local = R_y(-yaw) @ [dx, 0, dz]; phi = atan2(local_x, -local_z).
+    """
+    rel = goal_pos - agent_pos
+    ca, sa = np.cos(-agent_yaw), np.sin(-agent_yaw)
+    local_x = ca * rel[0] + sa * rel[1]
+    local_z = -sa * rel[0] + ca * rel[1]
+    rho = float(np.hypot(local_x, local_z))
+    phi = float(np.arctan2(local_x, -local_z))
+    return np.asarray([rho, -phi], np.float32)
+
+
+class ScriptedPointNavEnv:
+    """Single scripted PointNav episode generator (habitat-free)."""
+
+    def __init__(self, cfg: EnvConfig, seed: int = 0):
+        self.cfg = cfg
+        self.rng = np.random.default_rng(seed)
+        self._episode_id = -1
+        self._col_angles = None
+        self.reset()
+
+    # -- world/rendering ----------------------------------------------------
+
+    def _ray_depth(self) -> np.ndarray:
+        """Closed-form ray casting against the circular room wall: for each
+        image column, distance along the ray to |p + t d| = R."""
+        cfg = self.cfg
+        if self._col_angles is None:
+            half = np.radians(cfg.hfov_deg) / 2.0
+            # pinhole column directions
+            f = (cfg.image_w / 2.0) / np.tan(half)
+            u = np.arange(cfg.image_w) + 0.5 - cfg.image_w / 2.0
+            self._col_angles = np.arctan2(u, f)
+        ang = self.yaw + self._col_angles  # world heading per column
+        d = np.stack([-np.sin(ang), -np.cos(ang)], -1)  # forward = -z at yaw 0
+        p = self.pos
+        b = 2 * (d @ p)
+        c = p @ p - self.room_radius ** 2
+        disc = np.maximum(b * b - 4 * c, 0.0)
+        t = (-b + np.sqrt(disc)) / 2.0
+        return np.maximum(t, cfg.min_depth)
+
+    def _render(self) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        t = self._ray_depth()  # [W]
+        # vertical foreshortening: rows away from the horizon see floor/ceiling
+        rows = (np.arange(cfg.image_h) + 0.5) / cfg.image_h - 0.5  # [-.5, .5)
+        vert = 1.0 / (1.0 + 2.0 * np.abs(rows))  # cheap floor/ceiling falloff
+        depth = t[None, :] * vert[:, None]
+        if cfg.depth_noise_multiplier > 0:
+            noise = self.rng.normal(0, 0.01, size=depth.shape) * (
+                depth * cfg.depth_noise_multiplier
+            )
+            depth = depth + noise
+        depth_n = np.clip(
+            (depth - cfg.min_depth) / (cfg.max_depth - cfg.min_depth), 0.0, 1.0
+        ).astype(np.float32)[..., None]
+
+        # RGB: stripes keyed to wall hit angle -> view-dependent texture
+        ang = self.yaw + self._col_angles
+        wall_phase = (np.sin(self._texture_freq * ang + self._texture_phase) + 1) / 2
+        col = np.stack(
+            [
+                wall_phase,
+                (np.sin(2.3 * self._texture_freq * ang) + 1) / 2,
+                np.clip(t / cfg.max_depth, 0, 1),
+            ],
+            -1,
+        )  # [W, 3]
+        rgb = np.broadcast_to(col[None], (cfg.image_h, cfg.image_w, 3)).copy()
+        rgb *= (0.4 + 0.6 * vert[:, None, None])
+        rgb = rgb * 255.0
+        if cfg.rgb_noise_intensity > 0:
+            rgb = rgb + self.rng.normal(0, cfg.rgb_noise_intensity * 255.0 * 0.1,
+                                        size=rgb.shape)
+        return {
+            "rgb": np.clip(rgb, 0, 255).astype(np.float32),
+            "depth": depth_n,
+        }
+
+    # -- episode lifecycle --------------------------------------------------
+
+    def reset(self) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        self._episode_id += 1
+        lo, hi = cfg.room_radius_range
+        self.room_radius = float(self.rng.uniform(lo, hi))
+        self._texture_freq = float(self.rng.uniform(3, 9))
+        self._texture_phase = float(self.rng.uniform(0, 2 * np.pi))
+        r_max = self.room_radius - 0.5
+        self.pos = self.rng.uniform(-r_max / 2, r_max / 2, size=2)
+        self.yaw = float(self.rng.uniform(-np.pi, np.pi))
+        while True:
+            goal = self.rng.uniform(-r_max, r_max, size=2)
+            if np.linalg.norm(goal) < r_max and 1.0 < np.linalg.norm(goal - self.pos) < 2 * r_max:
+                break
+        self.goal = goal
+        self.start_dist = float(np.linalg.norm(self.goal - self.pos))
+        self.path_len = 0.0
+        self.steps = 0
+        self.collisions = 0
+        self.called_stop = False
+        self._prev_dist = self.start_dist
+        obs = self._render()
+        obs["pointgoal_with_gps_compass"] = _polar_goal(self.pos, self.yaw, self.goal)
+        return obs
+
+    @property
+    def dist_to_goal(self) -> float:
+        return float(np.linalg.norm(self.goal - self.pos))
+
+    @property
+    def episode_over(self) -> bool:
+        return self.steps >= self.cfg.max_episode_steps or self.called_stop
+
+    def _apply_action(self, action: int) -> Tuple[float, float, float]:
+        """Returns the GT local delta [dx, dz, dyaw] actually executed."""
+        cfg = self.cfg
+        m = cfg.actuation_noise_multiplier
+        if action == MOVE_FORWARD:
+            dx = self.rng.normal(0, 0.01) * m
+            dz = -cfg.forward_step + self.rng.normal(0, 0.02) * m
+            dyaw = self.rng.normal(0, np.radians(1.0)) * m
+        elif action == TURN_LEFT:
+            dx = self.rng.normal(0, 0.005) * m
+            dz = self.rng.normal(0, 0.005) * m
+            dyaw = np.radians(cfg.turn_angle_deg) + self.rng.normal(0, np.radians(1.5)) * m
+        elif action == TURN_RIGHT:
+            dx = self.rng.normal(0, 0.005) * m
+            dz = self.rng.normal(0, 0.005) * m
+            dyaw = -np.radians(cfg.turn_angle_deg) + self.rng.normal(0, np.radians(1.5)) * m
+        else:
+            return (0.0, 0.0, 0.0)
+
+        # integrate in world frame: local [dx, 0, dz] rotated by yaw about +y
+        ca, sa = np.cos(self.yaw), np.sin(self.yaw)
+        wx = ca * dx + sa * dz
+        wz = -sa * dx + ca * dz
+        new_pos = self.pos + np.asarray([wx, wz])
+        # wall collision: clamp to the room (ALLOW_SLIDING: False -> stop short)
+        if np.linalg.norm(new_pos) > self.room_radius - 0.2:
+            self.collisions += 1
+            new_pos = self.pos
+            dx, dz = 0.0, 0.0
+        self.path_len += float(np.linalg.norm(new_pos - self.pos))
+        self.pos = new_pos
+        self.yaw = float((self.yaw + dyaw + np.pi) % (2 * np.pi) - np.pi)
+        return (dx, dz, dyaw)
+
+    def step(self, action: int):
+        assert not self.episode_over, "step() called on finished episode"
+        self.steps += 1
+        if action == STOP:
+            self.called_stop = True
+            delta = (0.0, 0.0, 0.0)
+        else:
+            delta = self._apply_action(int(action))
+
+        cur_dist = self.dist_to_goal
+        success = float(self.called_stop and cur_dist < self.cfg.success_distance)
+        reward = self.cfg.slack_reward + (self._prev_dist - cur_dist)
+        reward += self.cfg.success_reward * success
+        self._prev_dist = cur_dist
+
+        done = self.episode_over or success > 0
+        obs = self._render()
+        obs["pointgoal_with_gps_compass"] = _polar_goal(self.pos, self.yaw, self.goal)
+
+        spl = success * self.start_dist / max(self.path_len, self.start_dist)
+        soft_success = max(0.0, 1.0 - cur_dist / max(self.start_dist, 1e-6))
+        softspl = soft_success * self.start_dist / max(self.path_len, self.start_dist)
+        info = {
+            "distance_to_goal": cur_dist,
+            "success": success,
+            "spl": spl,
+            "softspl": softspl,
+            "collisions": {"count": self.collisions},
+            "gt_delta": np.asarray(delta, np.float32),
+            "episode_id": self._episode_id,
+        }
+        return obs, float(reward), bool(done), info
+
+
+class VectorEnv:
+    """Synchronous fan-out with batched numpy observations.
+
+    The reference forks NUM_PROCESSES habitat-sim workers
+    (env_utils.py:96-98); here env stepping is cheap host numpy, so a loop
+    suffices — the interface (batched obs in, action vector out, auto-reset
+    on done) is what the trainers/evaluators program against, and the habitat
+    adapter plugs in behind the same interface.
+    """
+
+    def __init__(self, make_fns: Sequence):
+        self.envs: List = [fn() for fn in make_fns]
+        self.num_envs = len(self.envs)
+        self._paused: List[int] = []
+
+    def reset(self) -> Dict[str, np.ndarray]:
+        return _batch_obs([e.reset() for e in self.envs])
+
+    def step(self, actions: Sequence[int]):
+        obs, rewards, dones, infos = [], [], [], []
+        for env, act in zip(self.envs, actions):
+            o, r, d, i = env.step(int(act))
+            if d:
+                o = env.reset()
+            obs.append(o)
+            rewards.append(r)
+            dones.append(d)
+            infos.append(i)
+        return (
+            _batch_obs(obs),
+            np.asarray(rewards, np.float32),
+            np.asarray(dones, bool),
+            infos,
+        )
+
+    def current_episodes(self):
+        return [(getattr(e, "_episode_id", 0)) for e in self.envs]
+
+    def pause_at(self, idx: int) -> None:
+        """Remove env idx from stepping (reference _pause_envs,
+        base_trainer.py:383-425)."""
+        self.envs.pop(idx)
+        self.num_envs -= 1
+
+
+def _batch_obs(obs_list: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack a list of obs dicts into batched arrays (misc_utils.py:146-171)."""
+    keys = obs_list[0].keys()
+    return {k: np.stack([o[k] for o in obs_list]) for k in keys}
+
+
+def make_scripted_vector_env(cfg: EnvConfig, num_envs: int, seed: int = 0) -> VectorEnv:
+    return VectorEnv(
+        [
+            (lambda s=seed + i: ScriptedPointNavEnv(cfg, seed=s))
+            for i in range(num_envs)
+        ]
+    )
+
+
+def split_scenes(scenes: Sequence[str], n_workers: int) -> List[List[str]]:
+    """Round-robin scene split across simulator workers (env_utils.py:38-73)."""
+    assert n_workers > 0
+    if len(scenes) == 0:
+        return [[] for _ in range(n_workers)]
+    if len(scenes) < n_workers:
+        raise ValueError(
+            f"reduce workers: {n_workers} workers but only {len(scenes)} scenes"
+        )
+    out: List[List[str]] = [[] for _ in range(n_workers)]
+    for i, s in enumerate(scenes):
+        out[i % n_workers].append(s)
+    return out
+
+
+def make_habitat_vector_env(task_config, num_envs: int, seed: int = 0):
+    """Adapter to a real habitat installation (construct_envs,
+    env_utils.py:74-98). Import-gated: habitat-sim is an external CPU C++
+    dependency; on the TPU image use the scripted env or a remote env farm."""
+    try:
+        import habitat  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "habitat-lab is not installed in this image. Use "
+            "make_scripted_vector_env for tests or run the habitat env farm "
+            "on CPU hosts feeding observations over the VectorEnv interface."
+        ) from e
+    raise NotImplementedError(
+        "habitat adapter: wire habitat.VectorEnv to the VectorEnv interface"
+    )

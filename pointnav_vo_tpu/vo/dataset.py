@@ -1,0 +1,368 @@
+"""VO frame-pair datasets: reference-compatible HDF5 reader + generator.
+
+Two responsibilities, both host-side (decode + shuffle only — the heavy
+per-sample preprocessing the reference does in 20 DataLoader worker
+processes, i.e. depth discretization + top-down projection
+(regression_geo_invariance_iter_dataset.py:205-452), moves ON DEVICE into
+the jitted train step; see vo/engine.py):
+
+1. :class:`FramePairReader` — streams the reference's chunked HDF5 schema
+   (``chunk_{k}`` groups; generate_datasets.py:145-199, 252): rgb uint8
+   flattened, depth float16 flattened, global poses, delta pos/rot.  Reads
+   datasets produced by the reference's generator unmodified (460 GB of
+   them, TRAIN.md:21).  Implements per-action filtering, partial-data
+   splits, chunk-level sharding across data-parallel hosts, and the
+   **inverse augmentation** (swap the frames of a turn sample, flip the
+   action, recompute the delta from global states —
+   regression_geo_invariance_iter_dataset.py:342-420).
+2. :func:`generate_scripted_dataset` — rolls an oracle policy through the
+   habitat-free scripted env (rl/envs.py) and writes the SAME schema; a
+   stand-in for ``generate_datasets.py`` when habitat-sim isn't available
+   (it lets the whole TRAIN.md pipeline run end-to-end in CI).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import h5py
+import numpy as np
+
+from pointnav_vo_tpu.common import (
+    CUR_REL_TO_PREV,
+    MOVE_FORWARD,
+    PREV_REL_TO_CUR,
+    TURN_LEFT,
+    TURN_RIGHT,
+)
+
+CHUNK_SIZE = 256
+
+
+# -- numpy quaternion helpers (host-side; [x, y, z, w]) ----------------------
+
+
+def _q_inv(q: np.ndarray) -> np.ndarray:
+    return q * np.asarray([-1, -1, -1, 1.0]) / np.sum(q * q, -1, keepdims=True)
+
+
+def _q_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x1, y1, z1, w1 = np.moveaxis(a, -1, 0)
+    x2, y2, z2, w2 = np.moveaxis(b, -1, 0)
+    return np.stack(
+        [
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        ],
+        -1,
+    )
+
+
+def _q_rot(q: np.ndarray, v: np.ndarray) -> np.ndarray:
+    xyz, w = q[..., :3], q[..., 3:4]
+    t = 2.0 * np.cross(xyz, v)
+    return v + w * t + np.cross(xyz, t)
+
+
+def inverse_delta_from_global(prev_rot, prev_pos, cur_rot, cur_pos) -> np.ndarray:
+    """[.., 3] = (dx, dz, dyaw) of *prev relative to cur* (the swapped-frame
+    regression target, dataset:389-420)."""
+    inv = _q_inv(cur_rot)
+    d_rot = _q_mul(inv, prev_rot)
+    d_pos = _q_rot(inv, prev_pos - cur_pos)
+    dyaw = 2.0 * np.arctan2(d_rot[..., 1], d_rot[..., 3])
+    return np.stack([d_pos[..., 0], d_pos[..., 2], dyaw], -1).astype(np.float32)
+
+
+@dataclasses.dataclass
+class FramePairBatch:
+    """One host batch of raw frame pairs (device preprocessing downstream)."""
+
+    prev_rgb: np.ndarray  # [B, H, W, 3] uint8
+    cur_rgb: np.ndarray
+    prev_depth: np.ndarray  # [B, H, W, 1] float32
+    cur_depth: np.ndarray
+    actions: np.ndarray  # [B] int32 (after inverse-augment flip)
+    gt_delta: np.ndarray  # [B, 3] float32 (dx, dz, dyaw)
+    data_types: np.ndarray  # [B] int32 CUR_REL_TO_PREV / PREV_REL_TO_CUR
+    dz_regress_mask: np.ndarray  # [B] float32
+    chunk_idx: np.ndarray  # [B] int32 provenance (engine:624-658 dumps)
+    entry_idx: np.ndarray  # [B] int32
+
+
+class FramePairReader:
+    """Chunked HDF5 reader with inverse augmentation and chunk sharding."""
+
+    def __init__(
+        self,
+        path: str,
+        vis_size_w: int,
+        vis_size_h: int,
+        act_type=-1,
+        geo_invariance_types: Sequence[str] = (),
+        partial_data_n_splits: int = 1,
+        shard_index: int = 0,
+        num_shards: int = 1,
+    ):
+        self.path = path
+        self.w, self.h = vis_size_w, vis_size_h
+        self.act_type = act_type
+        self.geo_types = tuple(geo_invariance_types)
+        self.n_splits = partial_data_n_splits
+        with h5py.File(path, "r") as f:
+            keys = sorted(f.keys(), key=lambda k: int(k.split("_")[-1]))
+            self.chunk_keys = keys[shard_index::num_shards]
+            self._len = 0
+            for k in self.chunk_keys:
+                self._len += self._valid_indices(f[k]).size
+
+    def _valid_indices(self, grp) -> np.ndarray:
+        actions = grp["actions"][()]
+        if isinstance(self.act_type, (list, tuple)):
+            assert set(self.act_type) == {TURN_LEFT, TURN_RIGHT}
+            mask = (actions == TURN_LEFT) | (actions == TURN_RIGHT)
+        elif self.act_type == -1:
+            mask = np.ones_like(actions, bool)
+        else:
+            mask = actions == self.act_type
+        idx = np.flatnonzero(mask)
+        if self.n_splits > 1:
+            idx = idx[:: self.n_splits]
+        return idx
+
+    def __len__(self) -> int:
+        """Number of primary (non-augmented) samples."""
+        return self._len
+
+    def _decode_chunk(self, grp) -> Dict[str, np.ndarray]:
+        h, w = self.h, self.w
+        return {
+            "actions": grp["actions"][()].astype(np.int32),
+            "prev_rgb": grp["prev_rgbs"][()].reshape(-1, h, w, 3),
+            "cur_rgb": grp["cur_rgbs"][()].reshape(-1, h, w, 3),
+            "prev_depth": grp["prev_depths"][()].reshape(-1, h, w, 1).astype(np.float32),
+            "cur_depth": grp["cur_depths"][()].reshape(-1, h, w, 1).astype(np.float32),
+            "delta_pos": grp["delta_positions"][()].astype(np.float32),
+            "delta_rot": grp["delta_rotations"][()].astype(np.float32),
+            "prev_gpos": grp["prev_global_positions"][()].astype(np.float64),
+            "prev_grot": grp["prev_global_rotations"][()].astype(np.float64),
+            "cur_gpos": grp["cur_global_positions"][()].astype(np.float64),
+            "cur_grot": grp["cur_global_rotations"][()].astype(np.float64),
+        }
+
+    def _chunk_samples(self, data: Dict[str, np.ndarray], idx: np.ndarray,
+                       chunk_i: int) -> List[Tuple]:
+        """Expand valid indices into (possibly augmented) sample descriptors:
+        (entry, swapped?, action, delta)."""
+        out = []
+        actions = data["actions"]
+        dyaw = 2.0 * np.arctan2(data["delta_rot"][:, 1], data["delta_rot"][:, 3])
+        deltas = np.stack(
+            [data["delta_pos"][:, 0], data["delta_pos"][:, 2], dyaw], -1
+        ).astype(np.float32)
+        inv_requested = (
+            "inverse_data_augment_only" in self.geo_types
+            or "inverse_joint_train" in self.geo_types
+        )
+        joint = "inverse_joint_train" in self.geo_types
+        for i in idx:
+            a = int(actions[i])
+            primary = (
+                self.act_type == -1
+                or (isinstance(self.act_type, int) and a == self.act_type)
+                or joint
+            )
+            if primary:
+                out.append((i, False, a, deltas[i]))
+            if inv_requested and a != MOVE_FORWARD and self.act_type != -1:
+                if joint or a != self.act_type:
+                    flipped = TURN_RIGHT if a == TURN_LEFT else TURN_LEFT
+                    inv_delta = inverse_delta_from_global(
+                        data["prev_grot"][i], data["prev_gpos"][i],
+                        data["cur_grot"][i], data["cur_gpos"][i],
+                    )
+                    out.append((i, True, flipped, inv_delta))
+        return out
+
+    def iter_batches(
+        self,
+        batch_size: int,
+        rng: Optional[np.random.Generator] = None,
+        drop_last: bool = False,
+    ) -> Iterator[FramePairBatch]:
+        """One epoch. Chunks are loaded whole into RAM, samples shuffled
+        within each chunk (reference worker behavior, dataset:454-524)."""
+        chunk_order = list(range(len(self.chunk_keys)))
+        if rng is not None:
+            rng.shuffle(chunk_order)
+        pending: List[Tuple[int, Dict, Tuple]] = []
+        with h5py.File(self.path, "r") as f:
+            for ci in chunk_order:
+                key = self.chunk_keys[ci]
+                grp = f[key]
+                data = self._decode_chunk(grp)
+                idx = self._valid_indices(grp)
+                if rng is not None:
+                    # shuffle entries, not expanded samples: a sample and its
+                    # inverse-augmented twin must stay adjacent for the
+                    # geo-invariance pairing (engine:367-374 alternating layout)
+                    idx = rng.permutation(idx)
+                samples = self._chunk_samples(data, idx, ci)
+                for s in samples:
+                    pending.append((ci, data, s))
+                    if len(pending) == batch_size:
+                        yield self._assemble(pending)
+                        pending = []
+            if pending and not drop_last:
+                yield self._assemble(pending)
+
+    @staticmethod
+    def _assemble(items) -> FramePairBatch:
+        prev_rgb, cur_rgb, prev_d, cur_d = [], [], [], []
+        acts, deltas, dtypes, chunk_is, entry_is = [], [], [], [], []
+        for ci, data, (i, swapped, a, delta) in items:
+            if swapped:
+                prev_rgb.append(data["cur_rgb"][i])
+                cur_rgb.append(data["prev_rgb"][i])
+                prev_d.append(data["cur_depth"][i])
+                cur_d.append(data["prev_depth"][i])
+                dtypes.append(PREV_REL_TO_CUR)
+            else:
+                prev_rgb.append(data["prev_rgb"][i])
+                cur_rgb.append(data["cur_rgb"][i])
+                prev_d.append(data["prev_depth"][i])
+                cur_d.append(data["cur_depth"][i])
+                dtypes.append(CUR_REL_TO_PREV)
+            acts.append(a)
+            deltas.append(delta)
+            chunk_is.append(ci)
+            entry_is.append(i)
+        return FramePairBatch(
+            prev_rgb=np.stack(prev_rgb),
+            cur_rgb=np.stack(cur_rgb),
+            prev_depth=np.stack(prev_d),
+            cur_depth=np.stack(cur_d),
+            actions=np.asarray(acts, np.int32),
+            gt_delta=np.stack(deltas).astype(np.float32),
+            data_types=np.asarray(dtypes, np.int32),
+            dz_regress_mask=np.ones(len(acts), np.float32),
+            chunk_idx=np.asarray(chunk_is, np.int32),
+            entry_idx=np.asarray(entry_is, np.int32),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Scripted dataset generation (habitat-free stand-in for generate_datasets.py)
+# ---------------------------------------------------------------------------
+
+
+def _yaw_to_quat(yaw: float) -> np.ndarray:
+    return np.asarray([0.0, np.sin(yaw / 2), 0.0, np.cos(yaw / 2)], np.float64)
+
+
+def generate_scripted_dataset(
+    path: str,
+    n_entries: int,
+    env_cfg=None,
+    rnd_p: float = 1.0,
+    seed: int = 0,
+) -> int:
+    """Roll an oracle through the scripted env, save reference-schema HDF5.
+
+    Oracle: turn toward the goal until roughly facing it, else move forward —
+    the ShortestPathFollower analogue for the obstacle-free scripted world
+    (generate_datasets.py:397-412 uses habitat's follower).
+    Returns the number of entries written.
+    """
+    from pointnav_vo_tpu.rl.envs import EnvConfig, ScriptedPointNavEnv
+
+    env_cfg = env_cfg or EnvConfig()
+    rng = np.random.default_rng(seed)
+    env = ScriptedPointNavEnv(env_cfg, seed=seed)
+
+    buf: List[Dict] = []
+    written = 0
+    chunk_cnt = 0
+    turn_rad = np.radians(env_cfg.turn_angle_deg)
+
+    with h5py.File(path, "w") as f:
+
+        def flush():
+            nonlocal chunk_cnt, buf
+            if not buf:
+                return
+            grp = f.create_group(f"chunk_{chunk_cnt}")
+            cols = {k: np.stack([b[k] for b in buf]) for k in buf[0]}
+            for k, v in cols.items():
+                grp.create_dataset(k, data=v)
+            chunk_cnt += 1
+            buf = []
+
+        prev = None  # (obs, pos, yaw)
+        obs = env.reset()
+        new_episode = True
+        while written < n_entries:
+            bearing = -obs["pointgoal_with_gps_compass"][1]
+            if env.dist_to_goal < env_cfg.success_distance:
+                action = 0
+            elif abs(bearing) > turn_rad / 2:
+                action = TURN_LEFT if bearing < 0 else TURN_RIGHT
+            else:
+                action = MOVE_FORWARD
+            if action == 0:
+                obs = env.reset()
+                prev = None
+                new_episode = True
+                continue
+
+            state_before = (obs, env.pos.copy(), env.yaw)
+            nobs, _r, done, info = env.step(action)
+            keep = rng.uniform() < rnd_p
+            if keep:
+                p_obs, p_pos, p_yaw = state_before
+                prev_gpos = np.asarray([p_pos[0], 0.0, p_pos[1]])
+                cur_gpos = np.asarray([env.pos[0], 0.0, env.pos[1]])
+                prev_grot = _yaw_to_quat(p_yaw)
+                cur_grot = _yaw_to_quat(env.yaw)
+                # delta of cur relative to prev (dataset target convention)
+                inv = _q_inv(prev_grot)
+                d_rot = _q_mul(inv, cur_grot)
+                d_pos = _q_rot(inv, cur_gpos - prev_gpos)
+                buf.append({
+                    "new_episodes": np.uint8(new_episode),
+                    "actions": np.uint8(action),
+                    "collisions": np.uint8(info["collisions"]["count"] > 0),
+                    "episode_start_positions": np.zeros(3, np.float32),
+                    "episode_start_rotations": np.zeros(4, np.float32),
+                    "episode_goal_positions": np.asarray(
+                        [env.goal[0], 0.0, env.goal[1]], np.float32),
+                    "prev_rgbs": p_obs["rgb"].astype(np.uint8).reshape(-1),
+                    "cur_rgbs": nobs["rgb"].astype(np.uint8).reshape(-1),
+                    "prev_depths": p_obs["depth"].astype(np.float16).reshape(-1),
+                    "cur_depths": nobs["depth"].astype(np.float16).reshape(-1),
+                    "prev_point_goal_vecs": p_obs["pointgoal_with_gps_compass"],
+                    "cur_point_goal_vecs": nobs["pointgoal_with_gps_compass"],
+                    "prev_episodic_gpses": np.zeros(2, np.float32),
+                    "cur_episodic_gpses": np.zeros(2, np.float32),
+                    "prev_episodic_compasses": np.asarray([p_yaw], np.float32),
+                    "cur_episodic_compasses": np.asarray([env.yaw], np.float32),
+                    "prev_global_positions": prev_gpos.astype(np.float32),
+                    "cur_global_positions": cur_gpos.astype(np.float32),
+                    "prev_global_rotations": prev_grot.astype(np.float32),
+                    "cur_global_rotations": cur_grot.astype(np.float32),
+                    "delta_positions": d_pos.astype(np.float32),
+                    "delta_rotations": np.asarray(d_rot, np.float32),
+                })
+                written += 1
+                if len(buf) == CHUNK_SIZE:
+                    flush()
+            new_episode = False
+            obs = nobs
+            if done:
+                obs = env.reset()
+                new_episode = True
+        flush()
+    return written

@@ -1,0 +1,444 @@
+"""VO supervised training/eval engine — the geo-invariance workload on TPU.
+
+Counterpart of the reference's
+``vo/engine/vo_cnn_regression_geo_invariance_engine.py:40-1448`` redesigned
+for the TPU execution model (SURVEY.md §3.1, §7):
+
+- the per-action ``nn.Module`` dict + per-action Adam (:55-74, 122-133)
+  becomes **stacked expert parameters** with one elementwise Adam over the
+  stacked pytree (identical update math — Adam is elementwise);
+- the 20-worker CPU preprocessing pipeline (depth discretize + top-down per
+  sample, dataset:205-452) runs ON DEVICE inside the jitted train step via
+  ``preprocess_obs_pairs`` — the HDF5 reader only decodes and shuffles;
+- per-action sub-batch forwards with dynamic shapes (engine:569-588) become
+  static full-batch forwards per expert with masked whitening-stat updates
+  and per-sample output gathering;
+- the prediction re-ordering gymnastics for the joint geometric loss
+  (engine:559-601, 753-792) disappear: the loader keeps each sample adjacent
+  to its swapped twin, so pairs are just a [B/2, 2, ...] reshape;
+- torch DDP -> ``shard_map`` over the data axis: batch shards, params
+  replicate, grads ``pmean``, whitening stats ``psum``.
+
+The reference's embedded self-checks are preserved: the joint geometric loss
+is also evaluated on ground-truth deltas each step and reported as
+``debug_geo_*`` (should be ~0 — engine:510-535), promoted to a unit test.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import pickle
+import time
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from pointnav_vo_tpu.common import (
+    CUR_REL_TO_PREV,
+    MOVE_FORWARD,
+    PREV_REL_TO_CUR,
+    TURN_LEFT,
+    TURN_RIGHT,
+)
+from pointnav_vo_tpu.io.checkpoint import load_checkpoint, rng_state_bundle, save_checkpoint
+from pointnav_vo_tpu.parallel.mesh import DATA_AXIS
+from pointnav_vo_tpu.vo import losses as losses_lib
+from pointnav_vo_tpu.vo.dataset import FramePairBatch, FramePairReader
+from pointnav_vo_tpu.vo.ensemble import VOInferenceConfig, preprocess_obs_pairs
+
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+@dataclasses.dataclass(frozen=True)
+class VOTrainConfig:
+    """Mirrors VO.TRAIN + VO.GEOMETRY (configs/vo/vo_pointnav.yaml:31-93)."""
+
+    lr: float = 2.5e-4
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+    batch_size: int = 128
+    epochs: int = 150
+    loss_weight_fixed: bool = True
+    loss_weight_multiplier: Tuple[Tuple[str, float], ...] = (
+        ("dx", 1.0), ("dz", 1.0), ("dyaw", 1.0))
+    action_type: Any = 1  # -1 | 1 | 2 | 3 | (2, 3)
+    geo_invariance_types: Tuple[str, ...] = ()
+    loss_inv_weight: float = 1.0
+    log_interval: int = 10
+    seed: int = 0
+
+    @property
+    def multiplier_dict(self) -> Dict[str, float]:
+        return dict(self.loss_weight_multiplier)
+
+    @property
+    def joint(self) -> bool:
+        return "inverse_joint_train" in self.geo_invariance_types
+
+    @property
+    def expert_actions(self) -> Tuple[int, ...]:
+        if isinstance(self.action_type, (tuple, list)):
+            assert set(self.action_type) == {TURN_LEFT, TURN_RIGHT}
+            return (TURN_LEFT, TURN_RIGHT)
+        return (self.action_type,)
+
+
+def _batch_to_device(batch: FramePairBatch) -> Dict[str, jnp.ndarray]:
+    return {
+        "prev_rgb": jnp.asarray(batch.prev_rgb, jnp.float32),
+        "cur_rgb": jnp.asarray(batch.cur_rgb, jnp.float32),
+        "prev_depth": jnp.asarray(batch.prev_depth),
+        "cur_depth": jnp.asarray(batch.cur_depth),
+        "actions": jnp.asarray(batch.actions),
+        "gt_delta": jnp.asarray(batch.gt_delta),
+        "data_types": jnp.asarray(batch.data_types),
+        "dz_mask": jnp.asarray(batch.dz_regress_mask),
+        "valid": jnp.ones((batch.actions.shape[0],), jnp.float32),
+    }
+
+
+def pad_batch(arrs: Dict[str, jnp.ndarray], target: int) -> Dict[str, jnp.ndarray]:
+    """Zero-pad a short (final) batch to the static size; 'valid' masks pads."""
+    b = arrs["actions"].shape[0]
+    if b == target:
+        return arrs
+    out = {}
+    for k, v in arrs.items():
+        pad = [(0, target - b)] + [(0, 0)] * (v.ndim - 1)
+        out[k] = jnp.pad(v, pad)
+    out["valid"] = out["valid"].at[b:].set(0.0)
+    return out
+
+
+def _forward_all_experts(model, stacked_vars, obs, actions, expert_actions,
+                         rng, train, valid):
+    """Run every expert on the full batch, gather each sample's own row.
+
+    Returns (preds [B, 3], new_batch_stats stacked like stacked_vars).
+    """
+    acts_arr = jnp.asarray(expert_actions, jnp.int32)
+    expert_idx = jnp.argmax(
+        (actions[:, None] == acts_arr[None, :]).astype(jnp.int32), axis=1
+    )
+    masks = (actions[:, None] == acts_arr[None, :]).astype(jnp.float32).T  # [A, B]
+
+    def apply_one(variables, mask, key):
+        if train:
+            out, mut = model.apply(
+                variables, obs, train=True, update_stats=True,
+                stats_mask=mask * valid, rngs={"dropout": key},
+                mutable=["batch_stats"],
+            )
+            return out, mut["batch_stats"]
+        out = model.apply(variables, obs, train=False)
+        return out, variables["batch_stats"]
+
+    keys = jax.random.split(rng, len(expert_actions))
+    preds_a, stats_a = jax.vmap(apply_one)(stacked_vars, masks, keys)
+    preds = jnp.take_along_axis(preds_a, expert_idx[None, :, None], axis=0)[0]
+    return preds, stats_a, expert_idx
+
+
+def make_train_step(model, icfg: VOInferenceConfig, tcfg: VOTrainConfig, tx,
+                    axis_name: Optional[str] = None):
+    """Build the fused preprocess+forward+loss+update step (jit outside)."""
+    expert_actions = tcfg.expert_actions
+
+    def step(stacked_vars, opt_state, batch, rng):
+        obs = preprocess_obs_pairs(
+            batch["prev_rgb"], batch["prev_depth"],
+            batch["cur_rgb"], batch["cur_depth"], icfg,
+        )
+        actions = batch["actions"]
+        gt = batch["gt_delta"]
+        valid = batch["valid"]
+        weights = losses_lib.compute_loss_weights(
+            actions, gt, tcfg.multiplier_dict, tcfg.loss_weight_fixed
+        )
+
+        params = stacked_vars["params"]
+        batch_stats = stacked_vars["batch_stats"]
+
+        def loss_fn(p):
+            variables = {"params": p, "batch_stats": batch_stats}
+            preds, new_stats, _ = _forward_all_experts(
+                model, variables, obs, actions, expert_actions, rng, True, valid
+            )
+            metrics = {}
+            total = 0.0
+            # regression loss per (expert action, data type) group — the
+            # reference sums subset means (engine:604-751)
+            data_type_ids = (
+                (CUR_REL_TO_PREV, PREV_REL_TO_CUR)
+                if len(tcfg.geo_invariance_types) > 0
+                else (CUR_REL_TO_PREV,)
+            )
+            for a_i, act in enumerate(expert_actions):
+                for dt in data_type_ids:
+                    if act == -1:
+                        g_mask = valid * (batch["data_types"] == dt)
+                    else:
+                        g_mask = (
+                            valid
+                            * (actions == act)
+                            * (batch["data_types"] == dt)
+                        )
+                    loss_g, diag = losses_lib.weighted_mse_with_diagnostics(
+                        preds, gt, weights, batch["dz_mask"], g_mask
+                    )
+                    has_any = jnp.sum(g_mask) > 0
+                    total = total + jnp.where(has_any, loss_g, 0.0)
+                    tag = f"act{act}_dt{dt}"
+                    metrics[f"abs_diff/{tag}"] = diag["abs_diff"]
+                    metrics[f"relative_diff/{tag}"] = diag["relative_diff"]
+
+            if tcfg.joint:
+                pair_pred = preds.reshape(-1, 2, 3)
+                pair_act = actions.reshape(-1, 2)[:, 0]
+                pair_valid = valid.reshape(-1, 2)[:, 0] * valid.reshape(-1, 2)[:, 1]
+                geo_loss, abs_rot, abs_pos = losses_lib.geo_invariance_inverse_loss(
+                    pair_pred[:, 0], pair_pred[:, 1], pair_act, pair_valid
+                )
+                total = total + tcfg.loss_inv_weight * geo_loss
+                metrics["geo/abs_diff_rot"] = abs_rot
+                metrics["geo/abs_diff_pos"] = abs_pos
+                # the reference's train_debug sanity check on GT deltas
+                # (engine:510-535): invariance loss of the ground truth ~ 0
+                pair_gt = gt.reshape(-1, 2, 3)
+                _, dbg_rot, dbg_pos = losses_lib.geo_invariance_inverse_loss(
+                    pair_gt[:, 0], pair_gt[:, 1], pair_act, pair_valid
+                )
+                metrics["debug_geo/abs_diff_rot"] = dbg_rot
+                metrics["debug_geo/abs_diff_pos"] = dbg_pos
+
+            metrics["total_loss"] = total
+            return total, (new_stats, metrics)
+
+        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return {"params": params, "batch_stats": new_stats}, opt_state, metrics
+
+    return step
+
+
+def make_eval_step(model, icfg: VOInferenceConfig, tcfg: VOTrainConfig):
+    expert_actions = tcfg.expert_actions
+
+    def step(stacked_vars, batch):
+        obs = preprocess_obs_pairs(
+            batch["prev_rgb"], batch["prev_depth"],
+            batch["cur_rgb"], batch["cur_depth"], icfg,
+        )
+        preds, _, _ = _forward_all_experts(
+            model, stacked_vars, obs, batch["actions"], expert_actions,
+            jax.random.PRNGKey(0), False, batch["valid"],
+        )
+        diffs = jnp.abs(batch["gt_delta"] - preds) * batch["valid"][:, None]
+        return preds, diffs
+
+    return step
+
+
+class VORegressionEngine:
+    """Train/eval driver (reference engine train(): :809-1018, eval(): :1020-1257)."""
+
+    def __init__(
+        self,
+        icfg: VOInferenceConfig,
+        tcfg: VOTrainConfig,
+        train_reader: Optional[FramePairReader] = None,
+        eval_reader: Optional[FramePairReader] = None,
+        mesh=None,
+        log_dir: Optional[str] = None,
+        init_variables_per_expert: Optional[Sequence[Dict]] = None,
+    ):
+        self.icfg = icfg
+        self.tcfg = tcfg
+        self.train_reader = train_reader
+        self.eval_reader = eval_reader
+        self.mesh = mesh
+        self.log_dir = log_dir
+        self.model = icfg.make_model()
+        self.rng = jax.random.PRNGKey(tcfg.seed)
+        self.epoch = 0
+
+        n_experts = len(tcfg.expert_actions)
+        if init_variables_per_expert is not None:
+            assert len(init_variables_per_expert) == n_experts
+            per = list(init_variables_per_expert)
+        else:
+            h, w = icfg.vis_size_h, icfg.vis_size_w
+            dummy = {
+                "rgb": jnp.zeros((1, h, w, 6)),
+                "depth": jnp.zeros((1, h, w, 2)),
+                "discretized_depth": jnp.zeros((1, h, w, 2 * icfg.discretized_depth_channels)),
+                "top_down_view": jnp.zeros((1, h, w, 2)),
+            }
+            dummy = {k: v for k, v in dummy.items() if k.split("_")[0] != "discretized"
+                     or "discretized_depth" in icfg.observation_space}
+            per = []
+            for i in range(n_experts):
+                self.rng, k = jax.random.split(self.rng)
+                per.append(self.model.init(k, dummy, train=False))
+        for v in per:
+            v.setdefault("batch_stats", {})
+        self.variables = jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+
+        if tcfg.weight_decay > 0:
+            self.tx = optax.adamw(tcfg.lr, eps=tcfg.eps, weight_decay=tcfg.weight_decay)
+        else:
+            self.tx = optax.adam(tcfg.lr, eps=tcfg.eps)
+        self.opt_state = self.tx.init(self.variables["params"])
+
+        step_fn = make_train_step(
+            self.model, icfg, tcfg, self.tx,
+            axis_name=DATA_AXIS if mesh is not None else None,
+        )
+        if mesh is None:
+            self._train_step = jax.jit(step_fn, donate_argnames=("stacked_vars", "opt_state"))
+        else:
+            batch_spec = {
+                k: P(DATA_AXIS)
+                for k in ("prev_rgb", "cur_rgb", "prev_depth", "cur_depth",
+                          "actions", "gt_delta", "data_types", "dz_mask", "valid")
+            }
+
+            def wrapped(variables, opt_state, batch, rng):
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+                return step_fn(variables, opt_state, batch, rng)
+
+            self._train_step = jax.jit(
+                shard_map(
+                    wrapped, mesh=mesh,
+                    in_specs=(P(), P(), batch_spec, P()),
+                    out_specs=(P(), P(), P()),
+                    check_vma=False,
+                ),
+                donate_argnames=("variables", "opt_state"),
+            )
+        self._eval_step = jax.jit(make_eval_step(self.model, icfg, tcfg))
+
+    # ------------------------------------------------------------------
+
+    def train_epoch(self) -> Dict[str, float]:
+        assert self.train_reader is not None
+        rng_np = np.random.default_rng(self.tcfg.seed * 1000 + self.epoch)
+        agg: Dict[str, float] = {}
+        n_batches = 0
+        t0 = time.perf_counter()
+        n_samples = 0
+        for batch in self.train_reader.iter_batches(
+            self.tcfg.batch_size, rng=rng_np, drop_last=True
+        ):
+            arrs = _batch_to_device(batch)
+            self.rng, sub = jax.random.split(self.rng)
+            self.variables, self.opt_state, metrics = self._train_step(
+                self.variables, self.opt_state, arrs, sub
+            )
+            n_batches += 1
+            n_samples += batch.actions.shape[0]
+            if n_batches % self.tcfg.log_interval == 0:
+                for k, v in metrics.items():
+                    agg[k] = float(jnp.mean(jnp.asarray(v)))
+        agg["epoch_time_s"] = time.perf_counter() - t0
+        agg["frame_pairs_per_s"] = n_samples / max(agg["epoch_time_s"], 1e-9)
+        self.epoch += 1
+        return agg
+
+    def evaluate(self, save_pred_path: Optional[str] = None) -> Dict[str, float]:
+        assert self.eval_reader is not None
+        sums = np.zeros(3)
+        mags = np.zeros(3)
+        count = 0.0
+        per_action: Dict[int, np.ndarray] = {}
+        per_action_count: Dict[int, float] = {}
+        dump = {"gt": [], "pred": [], "action": [], "chunk": [], "entry": []}
+        for batch in self.eval_reader.iter_batches(self.tcfg.batch_size, rng=None):
+            arrs = pad_batch(_batch_to_device(batch), self.tcfg.batch_size)
+            preds, diffs = self._eval_step(self.variables, arrs)
+            b = batch.actions.shape[0]
+            d = np.asarray(diffs)[:b]
+            sums += d.sum(0)
+            mags += np.abs(batch.gt_delta).sum(0)
+            count += b
+            for act in np.unique(batch.actions):
+                sel = batch.actions == act
+                per_action.setdefault(int(act), np.zeros(3))
+                per_action_count.setdefault(int(act), 0.0)
+                per_action[int(act)] += d[sel].sum(0)
+                per_action_count[int(act)] += float(sel.sum())
+            if save_pred_path:
+                dump["gt"].append(batch.gt_delta)
+                dump["pred"].append(np.asarray(preds)[:b])
+                dump["action"].append(batch.actions)
+                dump["chunk"].append(batch.chunk_idx)
+                dump["entry"].append(batch.entry_idx)
+
+        out = {}
+        for i, name in enumerate(("dx", "dz", "dyaw")):
+            out[f"abs_diff_{name}"] = sums[i] / max(count, 1)
+            out[f"target_{name}_magnitude"] = mags[i] / max(count, 1)
+            out[f"relative_diff_{name}"] = sums[i] / max(mags[i], 1e-8)
+        for act, v in per_action.items():
+            for i, name in enumerate(("dx", "dz", "dyaw")):
+                out[f"act{act}/abs_diff_{name}"] = v[i] / max(per_action_count[act], 1)
+        out["eval_samples"] = count
+        if save_pred_path:
+            with open(save_pred_path, "wb") as f:
+                pickle.dump({k: np.concatenate(v) if v else np.zeros(0) for k, v in dump.items()}, f)
+        return out
+
+    def save_ckpt(self, path: str) -> None:
+        """Full resumable state (reference ckpt contents, engine:1425-1447)."""
+        save_checkpoint(
+            path,
+            {"variables": self.variables, "opt_state": self.opt_state},
+            metadata={
+                "epoch": self.epoch,
+                "train_config": dataclasses.asdict(self.tcfg),
+                "inference_config": {
+                    k: v for k, v in dataclasses.asdict(self.icfg).items()
+                    if k != "dtype"
+                },
+                "rng_key": np.asarray(self.rng),
+                "host_rng": rng_state_bundle(),
+            },
+        )
+
+    def load_ckpt(self, path: str) -> Dict:
+        tree, meta = load_checkpoint(
+            path, {"variables": self.variables, "opt_state": self.opt_state}
+        )
+        self.variables = tree["variables"]
+        self.opt_state = tree["opt_state"]
+        self.epoch = meta["epoch"]
+        self.rng = jnp.asarray(meta["rng_key"])
+        return meta
+
+    def train(self, ckpt_dir: Optional[str] = None, eval_every: int = 1,
+              log_fn=None) -> list:
+        history = []
+        while self.epoch < self.tcfg.epochs:
+            stats = self.train_epoch()
+            if self.eval_reader is not None and self.epoch % eval_every == 0:
+                stats.update({f"eval/{k}": v for k, v in self.evaluate().items()})
+            if ckpt_dir:
+                self.save_ckpt(os.path.join(ckpt_dir, f"ckpt_epoch_{self.epoch}.pkl"))
+            if log_fn:
+                log_fn(self.epoch, stats)
+            history.append(stats)
+        return history

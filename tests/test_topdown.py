@@ -11,10 +11,15 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from pointnav_vo_tpu.ops.topdown import TopDownParams, top_down_view, top_down_view_batch
+from pointnav_vo_tpu.ops.topdown import (
+    TopDownParams,
+    top_down_counts,
+    top_down_view,
+    top_down_view_batch,
+)
 
 
-def oracle_top_down(depth, p: TopDownParams):
+def oracle_top_down(depth, p: TopDownParams, return_counts=False):
     h, w = p.vis_size_h, p.vis_size_w
     rows = np.flatnonzero(depth.sum(1) > 0)
     cols = np.flatnonzero(depth.sum(0) > 0)
@@ -48,6 +53,8 @@ def oracle_top_down(depth, p: TopDownParams):
     ok = (pr >= 0) & (pr < h) & (pc >= 0) & (pc < w)
     cnt = np.zeros((h, w), np.float32)
     np.add.at(cnt, (pr[ok], pc[ok]), 1.0)
+    if return_counts:
+        return cnt
     m = cnt.max()
     return np.minimum(cnt / m, 1.0) if m > 0 else cnt
 
@@ -56,13 +63,19 @@ def _params(h=64, w=96):
     return TopDownParams(vis_size_h=h, vis_size_w=w)
 
 
-def _compare(depth, p, max_mismatch_frac=0.002):
-    got = np.asarray(top_down_view(jnp.asarray(depth), p))
-    want = oracle_top_down(depth, p)
-    # float32 ceil/floor at bin boundaries can differ by one bin for a
-    # measure-zero set of pixels; demand near-exactness.
-    mism = np.abs(got - want) > 1e-5
-    assert mism.mean() <= max_mismatch_frac, f"{mism.sum()} mismatching cells"
+def _compare(depth, p, max_moved_points=3):
+    """Compare raw counts: float32-vs-float64 rounding at a bin edge may move
+    a point to a neighboring cell (which rescales the normalized view via the
+    max-count denominator), so budget a few moved points, not cell values."""
+    got = np.asarray(top_down_counts(jnp.asarray(depth), p))
+    want = oracle_top_down(depth, p, return_counts=True)
+    moved = np.abs(got - want).sum() / 2  # each moved point changes two cells
+    assert moved <= max_moved_points, f"{moved} points moved cells"
+    # and the normalized view is self-consistent
+    view = np.asarray(top_down_view(jnp.asarray(depth), p))
+    m = got.max()
+    if m > 0:
+        np.testing.assert_allclose(view, np.minimum(got / m, 1.0), atol=1e-6)
 
 
 def test_topdown_random_depth():
