@@ -351,9 +351,13 @@ class VORegressionEngine:
             )
             n_batches += 1
             n_samples += batch.actions.shape[0]
+            agg["mean_total_loss"] = (
+                agg.get("mean_total_loss", 0.0) + float(metrics["total_loss"])
+            )
             if n_batches % self.tcfg.log_interval == 0:
                 for k, v in metrics.items():
                     agg[k] = float(jnp.mean(jnp.asarray(v)))
+        agg["mean_total_loss"] = agg.get("mean_total_loss", 0.0) / max(n_batches, 1)
         agg["epoch_time_s"] = time.perf_counter() - t0
         agg["frame_pairs_per_s"] = n_samples / max(agg["epoch_time_s"], 1e-9)
         self.epoch += 1
