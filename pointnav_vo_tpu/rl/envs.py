@@ -158,6 +158,8 @@ class ScriptedPointNavEnv:
             if np.linalg.norm(goal) < r_max and 1.0 < np.linalg.norm(goal - self.pos) < 2 * r_max:
                 break
         self.goal = goal
+        self.start_pos = self.pos.copy()
+        self.start_yaw = self.yaw
         self.start_dist = float(np.linalg.norm(self.goal - self.pos))
         self.path_len = 0.0
         self.steps = 0
@@ -232,6 +234,13 @@ class ScriptedPointNavEnv:
         spl = success * self.start_dist / max(self.path_len, self.start_dist)
         soft_success = max(0.0, 1.0 - cur_dist / max(self.start_dist, 1e-6))
         softspl = soft_success * self.start_dist / max(self.path_len, self.start_dist)
+        # episodic pose: agent position in the episode-start frame (what VO
+        # dead-reckoning from identity estimates) — the ModifiedTopDownMap
+        # extra_infos analogue (vis/modified_measurement.py:283-307)
+        ca, sa = np.cos(-self.start_yaw), np.sin(-self.start_yaw)
+        rel = self.pos - self.start_pos
+        ep_x = ca * rel[0] + sa * rel[1]
+        ep_z = -sa * rel[0] + ca * rel[1]
         info = {
             "distance_to_goal": cur_dist,
             "success": success,
@@ -239,6 +248,9 @@ class ScriptedPointNavEnv:
             "softspl": softspl,
             "collisions": {"count": self.collisions},
             "gt_delta": np.asarray(delta, np.float32),
+            "agent_pos": np.asarray([self.pos[0], 0.0, self.pos[1]], np.float32),
+            "agent_pos_episodic": np.asarray([ep_x, 0.0, ep_z], np.float32),
+            "agent_yaw": self.yaw,
             "episode_id": self._episode_id,
         }
         return obs, float(reward), bool(done), info

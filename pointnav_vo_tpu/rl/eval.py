@@ -1,0 +1,219 @@
+"""Policy+VO evaluation harness — the reference's north-star workload.
+
+Counterpart of ``rl/ppo/ppo_trainer.py:490-1133`` (`_eval_checkpoint`), the
+4.5-hour loop the TPU rebuild exists to accelerate (SURVEY.md §3.3).  The
+reference steps the simulator, then runs VO preprocessing + a batch-1 VO
+forward + the goal update **per env in Python**; here one jitted program per
+step batches every env: policy act (deterministic) -> envs.step on the host
+-> VO delta + ``compute_goal_pos`` for all envs fused on device.
+
+Tracked diagnostics mirror the reference's accounting:
+- navigation metrics on episode end: distance_to_goal / success / SPL /
+  SoftSPL / collisions / reward (:1074-1098);
+- per-step VO L2 error vs the ground-truth delta exposed by the env
+  (ModifiedTopDownMap ``extra_infos["delta"]`` in the reference,
+  ``info["gt_delta"]`` here — :816-847);
+- VO prediction std in "rnd" mode (:848-858);
+- dead-reckoned global-state drift vs the simulator's true pose (:763-783);
+- dx/dz stuck counters (:924-930, 984-998) and per-phase wall-clock timings
+  (:1101-1128).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pointnav_vo_tpu.common import MOVE_FORWARD, STOP
+from pointnav_vo_tpu.models.policy import action_log_prob, mode_action, sample_action
+from pointnav_vo_tpu.ops import geometry as geo
+from pointnav_vo_tpu.rl.trainer import act_step, propagate_goal
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _integrate_global(est_rot, est_pos, delta, reset_mask, seed_rot, seed_pos):
+    """Dead-reckon a global pose through VO deltas (compute_global_state),
+    re-seeding on episode start (ppo_trainer.py:763-783 drift accounting)."""
+    new_rot, new_pos = geo.compute_global_state(est_rot, est_pos, delta)
+    new_rot = jnp.where(reset_mask > 0, seed_rot, new_rot)
+    new_pos = jnp.where(reset_mask > 0, seed_pos, new_pos)
+    return new_rot, new_pos
+
+
+@dataclasses.dataclass
+class EpisodeResult:
+    success: float
+    spl: float
+    softspl: float
+    distance_to_goal: float
+    reward: float
+    collisions: float
+    steps: int
+
+
+class Evaluator:
+    """Batched eval loop over a VectorEnv."""
+
+    def __init__(
+        self,
+        *,
+        model,
+        variables: Dict,
+        envs,
+        vo_ensemble=None,
+        vo_fn: Optional[Callable] = None,
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+        stuck_thresh: float = 0.01,
+    ):
+        self.model = model
+        self.variables = variables
+        self.envs = envs
+        self.vo = vo_ensemble
+        self.vo_fn = vo_fn
+        self.deterministic = deterministic
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.stuck_thresh = stuck_thresh
+
+    def _vo_delta(self, prev_obs, new_obs, actions, infos):
+        if self.vo_fn is not None:
+            return self.vo_fn(prev_obs, new_obs, actions, infos)
+        self.rng, sub = jax.random.split(self.rng)
+        delta, std, _ = self.vo.compute_local_delta_states_from_vo(
+            prev_obs["rgb"], prev_obs["depth"],
+            jnp.asarray(new_obs["rgb"]), jnp.asarray(new_obs["depth"]),
+            actions[:, 0], rng=sub,
+        )
+        return delta, std
+
+    def run(self, num_episodes: int, log_fn=None) -> Dict[str, float]:
+        envs = self.envs
+        n = envs.num_envs
+        obs = envs.reset()
+
+        hidden = self.model.initial_hidden(n)
+        prev_actions = jnp.zeros((n, 1), jnp.int32)
+        masks = jnp.zeros((n, 1))
+
+        use_vo = self.vo is not None or self.vo_fn is not None
+        sensor0 = jnp.asarray(obs["pointgoal_with_gps_compass"])
+        goal_cart = geo.pointgoal_polar2cartesian(sensor0)
+        est_rot = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (n, 1))
+        est_pos = jnp.zeros((n, 3))
+
+        obs_dev = {k: jnp.asarray(v) for k, v in obs.items()}
+        episode_rewards = np.zeros(n)
+        results: List[EpisodeResult] = []
+        vo_l2: List[np.ndarray] = []
+        vo_std: List[np.ndarray] = []
+        drift: List[float] = []
+        stuck = {"dx": 0, "dz": 0, "both": 0}
+        timing = {"act": 0.0, "env": 0.0, "vo": 0.0}
+        steps = 0
+
+        while len(results) < num_episodes:
+            t0 = time.perf_counter()
+            self.rng, sub = jax.random.split(self.rng)
+            _v, action, _lp, hidden = act_step(
+                self.model, self.variables, obs_dev, hidden, prev_actions, masks,
+                sub, deterministic=self.deterministic,
+            )
+            actions_np = np.asarray(action[:, 0])
+            timing["act"] += time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            new_obs, rewards, dones, infos = envs.step(actions_np)
+            timing["env"] += time.perf_counter() - t0
+            steps += n
+            episode_rewards += rewards
+
+            new_obs_dev = {k: jnp.asarray(v) for k, v in new_obs.items()}
+            if use_vo:
+                t0 = time.perf_counter()
+                delta, std = self._vo_delta(obs_dev, new_obs, action, infos)
+                reset = jnp.asarray(dones.astype(np.float32))[:, None]
+                sensor = new_obs_dev["pointgoal_with_gps_compass"]
+                goal_cart, polar = propagate_goal(goal_cart, delta, reset, sensor)
+                new_obs_dev = dict(new_obs_dev)
+                new_obs_dev["pointgoal_with_gps_compass"] = polar
+
+                # diagnostics (host)
+                delta_np = np.asarray(delta)
+                std_np = np.asarray(std)
+                gt = np.stack([i["gt_delta"] for i in infos])
+                live = ~dones
+                if live.any():
+                    vo_l2.append(np.linalg.norm(delta_np[live] - gt[live], axis=-1))
+                    vo_std.append(std_np[live])
+                    fwd = live & (actions_np == MOVE_FORWARD)
+                    dx_stuck = np.abs(delta_np[:, 0]) < self.stuck_thresh
+                    dz_stuck = np.abs(delta_np[:, 1]) < self.stuck_thresh
+                    stuck["dx"] += int((fwd & dx_stuck & ~dz_stuck).sum())
+                    stuck["dz"] += int((fwd & dz_stuck & ~dx_stuck).sum())
+                    stuck["both"] += int((fwd & dx_stuck & dz_stuck).sum())
+
+                # dead-reckoning drift vs true pose (when the env exposes it)
+                if "agent_pos" in infos[0]:
+                    est_rot, est_pos = _integrate_global(
+                        est_rot, est_pos, delta, reset,
+                        jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (n, 1)),
+                        jnp.zeros((n, 3)),
+                    )
+                    est = np.asarray(est_pos)
+                    for i, info in enumerate(infos):
+                        if not dones[i]:
+                            true_rel = np.asarray(info["agent_pos_episodic"])
+                            drift.append(float(np.linalg.norm(est[i] - true_rel)))
+                timing["vo"] += time.perf_counter() - t0
+
+            for i, d in enumerate(dones):
+                if d and len(results) < num_episodes:
+                    info = infos[i]
+                    results.append(EpisodeResult(
+                        success=info["success"],
+                        spl=info["spl"],
+                        softspl=info["softspl"],
+                        distance_to_goal=info["distance_to_goal"],
+                        reward=float(episode_rewards[i]),
+                        collisions=float(info["collisions"]["count"]),
+                        steps=steps,
+                    ))
+                    episode_rewards[i] = 0.0
+                    if log_fn:
+                        log_fn(len(results), results[-1])
+
+            obs_dev = new_obs_dev
+            prev_actions = action
+            masks = jnp.asarray(1.0 - dones.astype(np.float32))[:, None]
+
+        agg = {
+            "episodes": float(len(results)),
+            "success": float(np.mean([r.success for r in results])),
+            "spl": float(np.mean([r.spl for r in results])),
+            "softspl": float(np.mean([r.softspl for r in results])),
+            "distance_to_goal": float(np.mean([r.distance_to_goal for r in results])),
+            "reward": float(np.mean([r.reward for r in results])),
+            "collisions": float(np.mean([r.collisions for r in results])),
+            "total_env_steps": float(steps),
+            "time_act_s": timing["act"],
+            "time_env_s": timing["env"],
+            "time_vo_s": timing["vo"],
+        }
+        if vo_l2:
+            cat = np.concatenate(vo_l2)
+            agg["vo_l2_mean"] = float(cat.mean())
+            agg["vo_l2_max"] = float(cat.max())
+            agg["vo_pred_std_mean"] = float(np.concatenate(vo_std).mean())
+            agg["stuck_dx"] = float(stuck["dx"])
+            agg["stuck_dz"] = float(stuck["dz"])
+            agg["stuck_both"] = float(stuck["both"])
+        if drift:
+            agg["global_drift_mean"] = float(np.mean(drift))
+        return agg
