@@ -1,0 +1,416 @@
+"""Config-driven engine adapters — the registry-visible trainer objects.
+
+These bridge the yacs-style config trees (config/defaults.py) onto the
+functional library (vo/engine.py, rl/trainer.py, rl/eval.py), replicating the
+reference's engine surface:
+
+- ``vo_cnn_regression_geo_invariance_engine`` (reference
+  vo/engine/vo_cnn_regression_geo_invariance_engine.py) — supervised VO
+  training/eval with checkpoint-resume and eval-config-from-checkpoint;
+- ``efficient_ddppo`` / ``ppo`` (reference rl/ddppo/algo/ddppo_trainer.py,
+  rl/ppo/ppo_trainer.py) — PPO training over vectorized envs with optional
+  VO-in-the-loop, and the checkpoint-sweep eval driver.
+
+Environment backend: the habitat simulator is an external CPU dependency; by
+default the scripted PointNav world (rl/envs.py) stands in, and
+``make_habitat_vector_env`` plugs real habitat behind the same interface.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pointnav_vo_tpu.common import ACT_NAME2IDX
+from pointnav_vo_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from pointnav_vo_tpu.io.torch_import import load_vo_checkpoint
+from pointnav_vo_tpu.models.policy import PointNavActorCritic, PointNavBaselineActorCritic
+from pointnav_vo_tpu.rl.envs import EnvConfig, make_scripted_vector_env
+from pointnav_vo_tpu.rl.eval import Evaluator
+from pointnav_vo_tpu.rl.ppo import PPOConfig
+from pointnav_vo_tpu.rl.trainer import DDPPOTrainer
+from pointnav_vo_tpu.utils import registry
+from pointnav_vo_tpu.utils.config import Config
+from pointnav_vo_tpu.utils.logging import (
+    TensorboardWriter,
+    append_jsonl,
+    get_logger,
+    save_info_dict,
+)
+from pointnav_vo_tpu.vo.dataset import FramePairReader
+from pointnav_vo_tpu.vo.engine import VORegressionEngine, VOTrainConfig
+from pointnav_vo_tpu.vo.ensemble import VOEnsemble, VOInferenceConfig, stack_expert_variables
+
+
+# ---------------------------------------------------------------------------
+# policies / envs registration
+# ---------------------------------------------------------------------------
+
+
+@registry.register_policy(name="resnet_rnn_policy")
+def make_resnet_rnn_policy(config: Config):
+    rl = config.RL
+    task = config.TASK_CONFIG
+    return PointNavActorCritic(
+        n_actions=4,
+        vis_types=tuple(rl.Policy.visual_types),
+        image_size=(task.SIMULATOR.DEPTH_SENSOR.HEIGHT, task.SIMULATOR.DEPTH_SENSOR.WIDTH),
+        hidden_size=rl.PPO.hidden_size,
+        num_recurrent_layers=rl.Policy.num_recurrent_layers,
+        rnn_type=rl.Policy.rnn_backbone,
+        backbone=rl.Policy.visual_backbone,
+        normalize_visual_inputs="rgb" in rl.Policy.visual_types,
+    )
+
+
+@registry.register_policy(name="pointnav_baseline_policy")
+def make_baseline_policy(config: Config):
+    return PointNavBaselineActorCritic(
+        n_actions=4, hidden_size=config.RL.PPO.hidden_size
+    )
+
+
+@registry.register_env(name="NavRLEnv")
+def make_nav_rl_env(config: Config, num_envs: int, seed: int = 0, noisy: bool = True):
+    """Scripted PointNav vector env configured from the task tree."""
+    task = config.TASK_CONFIG
+    sim = task.SIMULATOR
+    env_cfg = EnvConfig(
+        image_h=sim.DEPTH_SENSOR.HEIGHT,
+        image_w=sim.DEPTH_SENSOR.WIDTH,
+        hfov_deg=sim.DEPTH_SENSOR.HFOV,
+        min_depth=sim.DEPTH_SENSOR.MIN_DEPTH,
+        max_depth=sim.DEPTH_SENSOR.MAX_DEPTH,
+        forward_step=sim.get("FORWARD_STEP_SIZE", 0.25),
+        turn_angle_deg=sim.TURN_ANGLE,
+        max_episode_steps=task.ENVIRONMENT.MAX_EPISODE_STEPS,
+        success_distance=task.TASK.SUCCESS_DISTANCE,
+        slack_reward=config.RL.SLACK_REWARD,
+        success_reward=config.RL.SUCCESS_REWARD,
+        actuation_noise_multiplier=(sim.NOISE_MODEL.NOISE_MULTIPLIER if noisy else 0.0),
+        rgb_noise_intensity=(
+            sim.RGB_SENSOR.NOISE_MODEL_KWARGS.intensity_constant if noisy else 0.0
+        ),
+        depth_noise_multiplier=1.0 if noisy else 0.0,
+        seed=seed,
+    )
+    return make_scripted_vector_env(env_cfg, num_envs, seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# VO engine adapter
+# ---------------------------------------------------------------------------
+
+
+def vo_inference_config_from(config: Config, model_node: Config) -> VOInferenceConfig:
+    sim = config.TASK_CONFIG.SIMULATOR
+    return VOInferenceConfig(
+        model_name=model_node.name,
+        observation_space=tuple(model_node.visual_type),
+        vis_size_w=config.VO.VIS_SIZE_W,
+        vis_size_h=config.VO.VIS_SIZE_H,
+        hidden_size=model_node.hidden_size,
+        backbone=model_node.visual_backbone,
+        discretized_depth_channels=model_node.discretized_depth_channels,
+        dropout_p=model_node.dropout_p,
+        obs_transform=config.VO.get("OBS_TRANSFORM", "none"),
+        min_depth=sim.DEPTH_SENSOR.MIN_DEPTH,
+        max_depth=sim.DEPTH_SENSOR.MAX_DEPTH,
+        hfov=sim.DEPTH_SENSOR.HFOV,  # degrees-as-radians quirk preserved
+        mode=model_node.get("mode", "det"),
+        rnd_mode_n=model_node.get("rnd_mode_n", 10),
+    )
+
+
+@registry.register_vo_engine(name="vo_cnn_regression_geo_invariance_engine")
+class VOGeoInvarianceEngine:
+    """Config-facing wrapper around VORegressionEngine (reference engine)."""
+
+    def __init__(self, config: Config, run_type: str = "train", verbose: bool = True):
+        self.logger = get_logger(log_file=config.get("LOG_FILE"))
+        # eval / resume read config back out of the checkpoint
+        # (reference vo_cnn_engine.py:40-62)
+        self._resume_meta = None
+        if run_type == "train" and config.RESUME_TRAIN:
+            _, meta = load_checkpoint(config.RESUME_STATE_FILE)
+            stored = Config(meta["full_config"])
+            stored.RESUME_TRAIN = True
+            stored.RESUME_STATE_FILE = config.RESUME_STATE_FILE
+            stored.VO.TRAIN.epochs = config.VO.TRAIN.epochs
+            config = stored
+            self._resume_meta = meta
+        if "eval" in run_type and config.EVAL.EVAL_WITH_CKPT:
+            _, meta = load_checkpoint(config.EVAL.EVAL_CKPT_PATH)
+            stored = Config(meta["full_config"])
+            stored.RESUME_TRAIN = False
+            stored.EVAL = config.EVAL
+            stored.VO.EVAL = config.VO.EVAL
+            stored.VO.DATASET = config.VO.DATASET
+            self._eval_ckpt = config.EVAL.EVAL_CKPT_PATH
+            config = stored
+
+        self.config = config
+        self.run_type = run_type
+        vo = config.VO
+        act_type = vo.TRAIN.action_type
+        if isinstance(act_type, list):
+            act_type = tuple(act_type)
+        geo_types = tuple(vo.GEOMETRY.invariance_types)
+
+        self.icfg = vo_inference_config_from(config, vo.MODEL)
+        self.tcfg = VOTrainConfig(
+            lr=vo.TRAIN.lr,
+            eps=vo.TRAIN.eps,
+            weight_decay=vo.TRAIN.weight_decay,
+            batch_size=vo.TRAIN.batch_size,
+            epochs=vo.TRAIN.epochs,
+            loss_weight_fixed=vo.TRAIN.loss_weight_fixed,
+            loss_weight_multiplier=tuple(vo.TRAIN.loss_weight_multiplier.items()),
+            action_type=act_type,
+            geo_invariance_types=geo_types,
+            loss_inv_weight=vo.GEOMETRY.loss_inv_weight,
+            log_interval=config.LOG_INTERVAL,
+            seed=config.SEED,
+        )
+
+        def reader(path):
+            if not path:
+                return None
+            return FramePairReader(
+                path, vo.VIS_SIZE_W, vo.VIS_SIZE_H,
+                act_type=act_type, geo_invariance_types=geo_types,
+                partial_data_n_splits=vo.DATASET.PARTIAL_DATA_N_SPLITS,
+            )
+
+        train_path = vo.DATASET.get("TRAIN_WITH_NOISE") or vo.DATASET.get("TRAIN")
+        eval_path = vo.DATASET.get("EVAL_WITH_NOISE") or vo.DATASET.get("EVAL")
+        init_per_expert = None
+        if vo.MODEL.pretrained and vo.MODEL.pretrained_ckpt:
+            init_per_expert = [
+                load_vo_checkpoint(vo.MODEL.pretrained_ckpt[name], ACT_NAME2IDX[name])
+                for name in ("forward", "left", "right")
+                if name in vo.MODEL.pretrained_ckpt
+            ]
+        self.engine = VORegressionEngine(
+            self.icfg, self.tcfg,
+            train_reader=reader(train_path) if run_type == "train" else None,
+            eval_reader=reader(eval_path),
+            log_dir=config.get("LOG_DIR"),
+            init_variables_per_expert=init_per_expert,
+        )
+        if self._resume_meta is not None:
+            self.engine.load_ckpt(config.RESUME_STATE_FILE)
+        if "eval" in run_type and config.EVAL.EVAL_WITH_CKPT:
+            self.engine.load_ckpt(self._eval_ckpt)
+
+    def _save_ckpt(self, epoch: int) -> None:
+        path = os.path.join(self.config.CHECKPOINT_FOLDER, f"ckpt_epoch_{epoch}.pkl")
+        self.engine.save_ckpt(path)
+        # embed the full experiment config for eval-from-ckpt
+        _, meta = load_checkpoint(path)
+        meta["full_config"] = self.config.to_dict()
+        save_checkpoint(path, {"variables": self.engine.variables,
+                               "opt_state": self.engine.opt_state}, meta)
+
+    def train(self):
+        cfg = self.config
+        with TensorboardWriter(cfg.get("TENSORBOARD_DIR")) as tb:
+            while self.engine.epoch < self.tcfg.epochs:
+                stats = self.engine.train_epoch()
+                if self.engine.eval_reader is not None:
+                    stats.update({f"eval_{k}": v for k, v in self.engine.evaluate().items()})
+                epoch = self.engine.epoch
+                for k, v in stats.items():
+                    if np.isscalar(v) or (hasattr(v, "ndim") and v.ndim == 0):
+                        tb.add_scalar(f"train/{k}", float(v), epoch)
+                append_jsonl({"epoch": epoch, **{k: v for k, v in stats.items()
+                                                 if np.isscalar(v)}},
+                             os.path.join(cfg.INFO_DIR, "train_infos.jsonl"))
+                save_info_dict({k: [v] for k, v in stats.items() if np.isscalar(v)},
+                               os.path.join(cfg.INFO_DIR, "train_regression_info.p"))
+                self._save_ckpt(epoch)
+                self.logger.info(f"epoch {epoch}: loss={stats.get('mean_total_loss'):.5f} "
+                                 f"fps={stats.get('frame_pairs_per_s'):.1f}")
+
+    def eval(self):
+        save = None
+        if self.config.VO.EVAL.save_pred:
+            save = os.path.join(self.config.INFO_DIR, "delta_gt_pred.p")
+        metrics = self.engine.evaluate(save_pred_path=save)
+        save_info_dict({k: [v] for k, v in metrics.items()},
+                       os.path.join(self.config.INFO_DIR, "eval_regression_info.p"))
+        self.logger.info(f"VO eval: {metrics}")
+        return metrics
+
+
+# ---------------------------------------------------------------------------
+# RL trainer adapters
+# ---------------------------------------------------------------------------
+
+
+def _build_vo_ensemble(config: Config) -> Optional[VOEnsemble]:
+    vo = config.VO
+    if not vo.get("USE_VO_MODEL", False):
+        return None
+    icfg = vo_inference_config_from(config, vo.REGRESS_MODEL)
+    node = vo.REGRESS_MODEL
+    if node.pretrained and node.all_pretrained_ckpt:
+        paths = node.all_pretrained_ckpt[node.pretrained_type]
+        if all(str(p).endswith(".pth") for p in paths.values()):
+            return VOEnsemble.from_torch_checkpoints(icfg, paths)
+        # native checkpoints: one file with stacked expert variables
+        model = icfg.make_model()
+        per = []
+        for name in ("forward", "left", "right"):
+            tree, _ = load_checkpoint(paths[name])
+            per.append(tree["variables"] if "variables" in tree else tree)
+        return VOEnsemble(icfg, stack_expert_variables(per))
+    # untrained ensemble (e.g. smoke tests)
+    model = icfg.make_model()
+    h, w = icfg.vis_size_h, icfg.vis_size_w
+    dummy = {
+        "rgb": jnp.zeros((1, h, w, 6)), "depth": jnp.zeros((1, h, w, 2)),
+        "discretized_depth": jnp.zeros((1, h, w, 2 * icfg.discretized_depth_channels)),
+        "top_down_view": jnp.zeros((1, h, w, 2)),
+    }
+    per = [model.init(jax.random.PRNGKey(i), dummy, train=False) for i in range(3)]
+    return VOEnsemble(icfg, stack_expert_variables(per))
+
+
+class _BaseRLEngine:
+    def __init__(self, config: Config, run_type: str = "train",
+                 noisy: bool = True, mesh=None):
+        self.config = config
+        self.run_type = run_type
+        self.noisy = noisy
+        self.mesh = mesh
+        self.logger = get_logger(log_file=config.get("LOG_FILE"))
+        self.model = registry.get_policy(config.RL.Policy.name)(config)
+        self.ppo_cfg = PPOConfig(
+            clip_param=config.RL.PPO.clip_param,
+            ppo_epoch=config.RL.PPO.ppo_epoch,
+            num_mini_batch=config.RL.PPO.num_mini_batch,
+            value_loss_coef=config.RL.PPO.value_loss_coef,
+            entropy_coef=config.RL.PPO.entropy_coef,
+            lr=config.RL.PPO.lr,
+            eps=config.RL.PPO.eps,
+            max_grad_norm=config.RL.PPO.max_grad_norm,
+            num_steps=config.RL.PPO.num_steps,
+            use_gae=config.RL.PPO.use_gae,
+            gamma=config.RL.PPO.gamma,
+            tau=config.RL.PPO.tau,
+            use_linear_lr_decay=config.RL.PPO.use_linear_lr_decay,
+            use_normalized_advantage=config.RL.PPO.use_normalized_advantage,
+            hidden_size=config.RL.PPO.hidden_size,
+            reward_window_size=config.RL.PPO.reward_window_size,
+        )
+
+    def _make_envs(self):
+        return registry.get_env(self.config.ENV_NAME)(
+            self.config, self.config.NUM_PROCESSES,
+            seed=self.config.SEED, noisy=self.noisy,
+        )
+
+    def train(self):
+        cfg = self.config
+        envs = self._make_envs()
+        vo = _build_vo_ensemble(cfg) if cfg.RL.TUNE_WITH_VO else None
+        trainer = DDPPOTrainer(
+            model=self.model, ppo_cfg=self.ppo_cfg, envs=envs,
+            rng=jax.random.PRNGKey(cfg.SEED), vo_ensemble=vo, mesh=self.mesh,
+            total_updates=cfg.NUM_UPDATES,
+            reward_window_size=self.ppo_cfg.reward_window_size,
+        )
+        with TensorboardWriter(cfg.get("TENSORBOARD_DIR")) as tb:
+            for update in range(cfg.NUM_UPDATES):
+                trainer.collect_rollout()
+                stats = trainer.update_agent()
+                if update % cfg.LOG_INTERVAL == 0:
+                    for k, v in stats.items():
+                        tb.add_scalar(f"train/{k}", float(v), update)
+                    tb.add_scalar("Simulation/FPS",
+                                  trainer.count_steps / max(sum(trainer.timing.values()), 1e-9),
+                                  update)
+                    self.logger.info(f"update {update}: {stats} timing={trainer.timing}")
+                if update % cfg.CHECKPOINT_INTERVAL == 0:
+                    path = os.path.join(
+                        cfg.CHECKPOINT_FOLDER,
+                        f"ckpt_{update // cfg.CHECKPOINT_INTERVAL}.update_{update}."
+                        f"frames_{trainer.count_steps}.pkl",
+                    )
+                    save_checkpoint(
+                        path,
+                        {"params": trainer.params, "opt_state": trainer.opt_state},
+                        metadata={
+                            "full_config": cfg.to_dict(),
+                            "engine_name": cfg.ENGINE_NAME,
+                            "update": update,
+                            "count_steps": trainer.count_steps,
+                        },
+                    )
+        return trainer
+
+    def eval(self, ckpt_path: Optional[str] = None, num_episodes: Optional[int] = None):
+        cfg = self.config
+        ckpt_path = ckpt_path or cfg.EVAL.EVAL_CKPT_PATH
+        envs = self._make_envs()
+        variables = None
+        if ckpt_path and os.path.isfile(ckpt_path):
+            if ckpt_path.endswith(".pth"):
+                from pointnav_vo_tpu.io.torch_import import load_policy_checkpoint
+
+                loaded = load_policy_checkpoint(ckpt_path)
+                variables = {"params": loaded["params"]}
+                if loaded["batch_stats"]:
+                    variables["batch_stats"] = loaded["batch_stats"]
+            else:
+                tree, _ = load_checkpoint(ckpt_path)
+                variables = {"params": tree["params"]}
+        if variables is None:
+            obs0 = envs.reset()
+            dummy = {k: jnp.asarray(v[:1]) for k, v in obs0.items()}
+            variables = self.model.init(
+                jax.random.PRNGKey(0), dummy, self.model.initial_hidden(1),
+                jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1)),
+            )
+
+        vo = _build_vo_ensemble(cfg)
+        evaluator = Evaluator(
+            model=self.model, variables=variables, envs=envs, vo_ensemble=vo,
+            deterministic=True, rng=jax.random.PRNGKey(cfg.SEED),
+        )
+        n = num_episodes or (cfg.EVAL.TEST_EPISODE_COUNT
+                             if cfg.EVAL.TEST_EPISODE_COUNT > 0 else 100)
+        t0 = time.perf_counter()
+        metrics = evaluator.run(n)
+        metrics["wall_clock_s"] = time.perf_counter() - t0
+        save_info_dict({k: [v] for k, v in metrics.items()},
+                       os.path.join(cfg.INFO_DIR, "eval_infos.p"))
+        self.logger.info(f"eval: {metrics}")
+        return metrics
+
+
+@registry.register_trainer(name="efficient_ddppo")
+class EfficientDDPPOEngine(_BaseRLEngine):
+    pass
+
+
+@registry.register_trainer(name="ppo")
+class PPOEngine(_BaseRLEngine):
+    pass
+
+
+# VO model namespace: expose the zoo through the registry like the reference
+from pointnav_vo_tpu.models.vo_cnn import VO_MODEL_NAMES, make_vo_model  # noqa: E402
+
+for _name in VO_MODEL_NAMES:
+    registry.register_vo_model(name=_name)(
+        (lambda n: (lambda **kw: make_vo_model(n, **kw)))(_name)
+    )
