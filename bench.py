@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark: fused VO inference throughput on one chip.
+
+Measures the flagship eval-path unit of work — a full
+``compute_local_delta_states_from_vo`` call (depth discretization + top-down
+projection + 3-expert vo_cnn_rgb_d_dd_top_down forward + per-sample expert
+gather) at the Challenge-2020 resolution (341x192), bfloat16 compute — and
+reports frame-pairs/sec/chip.
+
+vs_baseline: the reference runs this path per env at batch 1 in Python
+(cv2 top-down on CPU + a PyTorch ResNet18 forward on a GTX 1080 Ti,
+base_trainer_with_vo.py:169-314). From its in-repo numbers (994-episode eval
+~= 4.5 h with VO timing dominating the non-sim time, README.md:84) the
+reference pipeline sustains ~40 frame-pairs/s; we report the speedup against
+that estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_PAIRS_PER_SEC = 40.0
+BATCH = 128
+WARMUP = 2
+ITERS = 8
+
+
+def main() -> None:
+    from pointnav_vo_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    from pointnav_vo_tpu.vo.ensemble import (
+        VOEnsemble,
+        VOInferenceConfig,
+        stack_expert_variables,
+    )
+
+    cfg = VOInferenceConfig(dtype=jnp.bfloat16)
+    model = cfg.make_model()
+    h, w = cfg.vis_size_h, cfg.vis_size_w
+
+    rng = np.random.default_rng(0)
+    prev_rgb = jnp.asarray(rng.uniform(0, 255, (BATCH, h, w, 3)), jnp.float32)
+    cur_rgb = jnp.asarray(rng.uniform(0, 255, (BATCH, h, w, 3)), jnp.float32)
+    prev_depth = jnp.asarray(rng.uniform(0, 1, (BATCH, h, w, 1)), jnp.float32)
+    cur_depth = jnp.asarray(rng.uniform(0, 1, (BATCH, h, w, 1)), jnp.float32)
+    actions = jnp.asarray(rng.integers(1, 4, BATCH), jnp.int32)
+
+    # cheap structural init (bench measures compute, not init quality)
+    dummy = {
+        "rgb": prev_rgb[:1].repeat(2, -1)[..., :6],
+        "depth": jnp.concatenate([prev_depth[:1], cur_depth[:1]], -1),
+        "discretized_depth": jnp.zeros((1, h, w, 20)),
+        "top_down_view": jnp.zeros((1, h, w, 2)),
+    }
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), dummy, train=False))
+    one = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype) + 0.01, shapes)
+    ensemble = VOEnsemble(cfg, stack_expert_variables([one, one, one]))
+
+    def run():
+        delta, std, _ = ensemble.compute_local_delta_states_from_vo(
+            prev_rgb, prev_depth, cur_rgb, cur_depth, actions
+        )
+        jax.block_until_ready(delta)
+
+    for _ in range(WARMUP):
+        run()
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        run()
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "vo_frame_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 2),
+        "unit": "frame-pairs/s (batch 128, 341x192 rgb-d-dd-topdown, bf16, fused preprocess+3-expert forward)",
+        "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

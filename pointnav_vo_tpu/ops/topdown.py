@@ -78,9 +78,17 @@ def _crop_bounds(mask_any: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 @functools.partial(jax.jit, static_argnames=("params",))
 def top_down_counts(depth: jax.Array, params: TopDownParams = TopDownParams()) -> jax.Array:
-    """Raw per-cell point counts [H, W] before normalization (testing hook —
-    normalization divides by the max count, so a single point crossing a bin
-    boundary under a different float backend rescales the whole view)."""
+    """Raw per-cell point counts [H, W] before normalization.
+
+    TPU formulation: instead of a scatter-add (slow to compile and to run on
+    TPU), binning is two one-hot comparisons and ONE matmul on the MXU:
+    ``count[r, c] = sum_p onehot_r[p, r] * onehot_c[p, c]``.  0/1 values are
+    exact in bf16 and integer sums < 2^24 are exact in the f32 accumulator,
+    so counts are bit-exact.  The candidate point set is bounded statically
+    by the <=2*rows_around_center selection band, extracted with a
+    dynamic_slice whose validity masking preserves the reference's exact
+    data-dependent crop semantics.
+    """
     h, w = params.vis_size_h, params.vis_size_w
     assert depth.shape == (h, w), f"expected {(h, w)}, got {depth.shape}"
     depth = depth.astype(jnp.float32)
@@ -103,9 +111,14 @@ def top_down_counts(depth: jax.Array, params: TopDownParams = TopDownParams()) -
         sel_lo = jnp.zeros((), jnp.int32)
         sel_hi = jnp.minimum(2 * params.rows_around_center, crop_h)
 
-    rows = jnp.arange(h)[:, None]
+    # static-size row band guaranteed to cover [min_row+sel_lo, min_row+sel_hi)
+    band = min(2 * params.rows_around_center, h)
+    start = jnp.clip(min_row + sel_lo, 0, h - band)
+    band_depth = jax.lax.dynamic_slice(blurred, (start, 0), (band, w))
+
+    band_rows = start + jnp.arange(band)[:, None]  # original row ids [band, 1]
     cols = jnp.arange(w)[None, :]
-    crop_row = rows - min_row
+    crop_row = band_rows - min_row
     valid = (
         (crop_row >= sel_lo)
         & (crop_row < sel_hi)
@@ -116,7 +129,7 @@ def top_down_counts(depth: jax.Array, params: TopDownParams = TopDownParams()) -
 
     # Unproject: only x (right) and true depth (forward) matter for binning
     # (coords_3d[:2] after the [0, 2, 1] reorder, geometry_utils.py:425, 324).
-    true_depth = blurred * (params.max_depth - params.min_depth) + params.min_depth
+    true_depth = band_depth * (params.max_depth - params.min_depth) + params.min_depth
     u0 = params.vis_size_w / 2.0
     x = (cols.astype(jnp.float32) + 0.5 - u0) / params.focal * true_depth
 
@@ -129,18 +142,17 @@ def top_down_counts(depth: jax.Array, params: TopDownParams = TopDownParams()) -
     )
     pix_r = (h - jnp.ceil(h * ndc_d)).astype(jnp.int32)
     pix_c = jnp.floor(w * ndc_x).astype(jnp.int32)
+    keep = valid & (pix_r >= 0) & (pix_r < h) & (pix_c >= 0) & (pix_c < w)
 
-    in_grid = (pix_r >= 0) & (pix_r < h) & (pix_c >= 0) & (pix_c < w)
-    keep = valid & in_grid
-    # sentinel must be positive-OOB: negative scatter indices WRAP (numpy
-    # semantics) instead of being dropped
-    flat = jnp.where(keep, pix_r * w + pix_c, h * w)
-
-    counts = (
-        jnp.zeros((h * w,), jnp.float32)
-        .at[flat.reshape(-1)]
-        .add(1.0, mode="drop")
-        .reshape(h, w)
+    p = band * w
+    oh_r = (
+        (pix_r.reshape(p, 1) == jnp.arange(h)[None, :]) & keep.reshape(p, 1)
+    ).astype(jnp.bfloat16)
+    oh_c = (pix_c.reshape(p, 1) == jnp.arange(w)[None, :]).astype(jnp.bfloat16)
+    counts = jax.lax.dot_general(
+        oh_r, oh_c,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     return counts
 

@@ -67,6 +67,9 @@ def _log_dir_name(args, config) -> str:
 
 
 def run_exp(args) -> None:
+    from pointnav_vo_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     logger = get_logger()
     paths = [args.exp_config] if args.exp_config else []
     opts = args.opts or []
