@@ -220,9 +220,18 @@ class VOGeoInvarianceEngine:
                                "opt_state": self.engine.opt_state}, meta)
 
     def train(self):
+        from pointnav_vo_tpu.utils import preemption
+
+        preemption.install_signal_handlers()
         cfg = self.config
         with TensorboardWriter(cfg.get("TENSORBOARD_DIR")) as tb:
             while self.engine.epoch < self.tcfg.epochs:
+                if preemption.should_exit():
+                    # full resumable state + requeue (ddp_utils.py:58-110)
+                    self.engine.save_ckpt(preemption.interrupted_state_path())
+                    preemption.requeue_job()
+                    self.logger.info("preempted: interrupted state saved")
+                    return
                 stats = self.engine.train_epoch()
                 if self.engine.eval_reader is not None:
                     stats.update({f"eval_{k}": v for k, v in self.engine.evaluate().items()})
@@ -328,8 +337,20 @@ class _BaseRLEngine:
             total_updates=cfg.NUM_UPDATES,
             reward_window_size=self.ppo_cfg.reward_window_size,
         )
+        from pointnav_vo_tpu.utils import preemption
+
+        preemption.install_signal_handlers()
         with TensorboardWriter(cfg.get("TENSORBOARD_DIR")) as tb:
             for update in range(cfg.NUM_UPDATES):
+                if preemption.should_exit():
+                    preemption.save_interrupted_state(
+                        {"params": trainer.params, "opt_state": trainer.opt_state},
+                        metadata={"full_config": cfg.to_dict(), "update": update,
+                                  "count_steps": trainer.count_steps},
+                    )
+                    preemption.requeue_job()
+                    self.logger.info("preempted: interrupted state saved")
+                    return trainer
                 trainer.collect_rollout()
                 stats = trainer.update_agent()
                 if update % cfg.LOG_INTERVAL == 0:
