@@ -1,0 +1,165 @@
+"""Process-parallel vector env over the native shm rings.
+
+The habitat-sim analogue of the reference's ``habitat.VectorEnv`` fan-out
+(env_utils.py:74-98), rebuilt on the C++ SPSC rings (native/shm_ring.cpp):
+each worker process steps one env and writes a fixed-layout float32 payload
+(observations + reward/done + metrics) straight into shared memory; the
+trainer pops all N payloads into preallocated batch arrays — one memcpy per
+env per step, no pickling.  Exposes the same interface as
+``rl/envs.VectorEnv`` so trainers/evaluators are backend-agnostic.
+
+Worker entry is a module-level function, so real habitat workers can be
+dropped in behind the same transport (swap `_make_env`).
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from pointnav_vo_tpu.native import ShmRing
+from pointnav_vo_tpu.rl.envs import EnvConfig, ScriptedPointNavEnv
+
+_N_META = 16  # pointgoal 2 + reward, done, success, spl, softspl, dist,
+# collisions + gt_delta 3 + agent_pos_episodic 3 + agent_yaw
+
+
+def _payload_floats(cfg: EnvConfig) -> int:
+    return cfg.image_h * cfg.image_w * 4 + _N_META
+
+
+def _encode(buf: np.ndarray, cfg: EnvConfig, obs, reward, done, info) -> None:
+    hw = cfg.image_h * cfg.image_w
+    buf[: hw * 3] = obs["rgb"].reshape(-1)
+    buf[hw * 3 : hw * 4] = obs["depth"].reshape(-1)
+    m = buf[hw * 4 :]
+    m[0:2] = obs["pointgoal_with_gps_compass"]
+    m[2] = reward
+    m[3] = float(done)
+    m[4] = info.get("success", 0.0)
+    m[5] = info.get("spl", 0.0)
+    m[6] = info.get("softspl", 0.0)
+    m[7] = info.get("distance_to_goal", 0.0)
+    m[8] = float(info.get("collisions", {"count": 0})["count"])
+    m[9:12] = info.get("gt_delta", np.zeros(3, np.float32))
+    m[12:15] = info.get("agent_pos_episodic", np.zeros(3, np.float32))
+    m[15] = info.get("agent_yaw", 0.0)
+
+
+def _worker_main(prefix: str, idx: int, cfg: EnvConfig, seed: int) -> None:
+    act_ring = ShmRing(f"{prefix}_a{idx}")
+    obs_ring = ShmRing(f"{prefix}_o{idx}")
+    env = ScriptedPointNavEnv(cfg, seed=seed)
+    buf = np.zeros(_payload_floats(cfg), np.float32)
+    act = np.zeros(1, np.float32)
+
+    obs = env.reset()
+    _encode(buf, cfg, obs, 0.0, False, {})
+    obs_ring.push(buf)
+    try:
+        while True:
+            act_ring.pop_into(act, timeout_ms=600000)
+            a = int(act[0])
+            if a < 0:
+                break
+            obs, reward, done, info = env.step(a)
+            if done:
+                obs = env.reset()
+            _encode(buf, cfg, obs, reward, done, info)
+            obs_ring.push(buf)
+    finally:
+        act_ring.close()
+        obs_ring.close()
+
+
+class ShmVectorEnv:
+    """Drop-in VectorEnv with process workers + shm transport."""
+
+    def __init__(self, cfg: EnvConfig, num_envs: int, seed: int = 0, slots: int = 4):
+        self.cfg = cfg
+        self.num_envs = num_envs
+        self._prefix = f"/pnvo_{os.getpid()}_{id(self) & 0xFFFF}"
+        n_floats = _payload_floats(cfg)
+        self._payload = np.zeros((num_envs, n_floats), np.float32)
+        self._act = np.zeros(1, np.float32)
+
+        self._act_rings = [
+            ShmRing(f"{self._prefix}_a{i}", slots, 8, create=True)
+            for i in range(num_envs)
+        ]
+        self._obs_rings = [
+            ShmRing(f"{self._prefix}_o{i}", slots, n_floats * 4, create=True)
+            for i in range(num_envs)
+        ]
+        ctx = mp.get_context("fork")
+        self._procs = [
+            ctx.Process(target=_worker_main, args=(self._prefix, i, cfg, seed + i),
+                        daemon=True)
+            for i in range(num_envs)
+        ]
+        for p in self._procs:
+            p.start()
+        self._first = True
+
+    def _decode(self) -> tuple:
+        cfg = self.cfg
+        hw = cfg.image_h * cfg.image_w
+        rgb = self._payload[:, : hw * 3].reshape(self.num_envs, cfg.image_h, cfg.image_w, 3)
+        depth = self._payload[:, hw * 3 : hw * 4].reshape(
+            self.num_envs, cfg.image_h, cfg.image_w, 1
+        )
+        m = self._payload[:, hw * 4 :]
+        obs = {
+            "rgb": rgb.copy(),
+            "depth": depth.copy(),
+            "pointgoal_with_gps_compass": m[:, 0:2].copy(),
+        }
+        rewards = m[:, 2].copy()
+        dones = m[:, 3] > 0.5
+        infos = [
+            {
+                "success": float(m[i, 4]),
+                "spl": float(m[i, 5]),
+                "softspl": float(m[i, 6]),
+                "distance_to_goal": float(m[i, 7]),
+                "collisions": {"count": int(m[i, 8])},
+                "gt_delta": m[i, 9:12].copy(),
+                "agent_pos_episodic": m[i, 12:15].copy(),
+                "agent_yaw": float(m[i, 15]),
+            }
+            for i in range(self.num_envs)
+        ]
+        return obs, rewards, dones, infos
+
+    def reset(self) -> Dict[str, np.ndarray]:
+        assert self._first, "shm workers auto-reset; call reset() once"
+        for i, ring in enumerate(self._obs_rings):
+            ring.pop_into(self._payload[i])
+        self._first = False
+        obs, _, _, _ = self._decode()
+        return obs
+
+    def step(self, actions: Sequence[int]):
+        for ring, a in zip(self._act_rings, actions):
+            self._act[0] = float(a)
+            ring.push(self._act)
+        for i, ring in enumerate(self._obs_rings):
+            ring.pop_into(self._payload[i])
+        return self._decode()
+
+    def close(self) -> None:
+        for ring in self._act_rings:
+            try:
+                self._act[0] = -1.0
+                ring.push(self._act, timeout_ms=1000)
+            except Exception:
+                pass
+        for p in self._procs:
+            p.join(timeout=5)
+            if p.is_alive():
+                p.terminate()
+        for ring in self._act_rings + self._obs_rings:
+            ring.close()

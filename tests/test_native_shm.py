@@ -1,0 +1,60 @@
+"""Native shm ring + process vector env tests."""
+
+import numpy as np
+import pytest
+
+from pointnav_vo_tpu.rl.envs import EnvConfig, make_scripted_vector_env
+
+
+def test_ring_roundtrip_and_order():
+    from pointnav_vo_tpu.native import ShmRing
+
+    ring = ShmRing("/pnvo_test_ring", slots=4, slot_bytes=64, create=True)
+    try:
+        reader = ShmRing("/pnvo_test_ring")
+        for i in range(10):
+            ring.push(np.full(16, i, np.float32))
+            out = np.zeros(16, np.float32)
+            reader.pop_into(out)
+            np.testing.assert_array_equal(out, i)
+        # fill to capacity, drain in order
+        for i in range(4):
+            ring.push(np.full(16, 100 + i, np.float32))
+        assert reader.size() == 4
+        for i in range(4):
+            out = np.zeros(16, np.float32)
+            reader.pop_into(out)
+            assert out[0] == 100 + i
+        with pytest.raises(TimeoutError):
+            reader.pop_into(np.zeros(16, np.float32), timeout_ms=50)
+    finally:
+        ring.close()
+
+
+def test_shm_vector_env_matches_inprocess():
+    """Same seeds + same actions -> shm-process env == in-process env."""
+    from pointnav_vo_tpu.native.shm_env import ShmVectorEnv
+
+    cfg = EnvConfig(image_h=8, image_w=8, max_episode_steps=10)
+    ref = make_scripted_vector_env(cfg, num_envs=2, seed=7)
+    shm = ShmVectorEnv(cfg, num_envs=2, seed=7)
+    try:
+        obs_ref = ref.reset()
+        obs_shm = shm.reset()
+        for k in obs_ref:
+            np.testing.assert_allclose(obs_shm[k], obs_ref[k], atol=1e-6, err_msg=k)
+
+        rng = np.random.default_rng(0)
+        for _ in range(12):
+            actions = rng.integers(1, 4, size=2)
+            o_ref, r_ref, d_ref, i_ref = ref.step(actions)
+            o_shm, r_shm, d_shm, i_shm = shm.step(actions)
+            np.testing.assert_allclose(r_shm, r_ref, atol=1e-5)
+            np.testing.assert_array_equal(d_shm, d_ref)
+            for k in o_ref:
+                np.testing.assert_allclose(o_shm[k], o_ref[k], atol=1e-5, err_msg=k)
+            for a, b in zip(i_shm, i_ref):
+                np.testing.assert_allclose(a["gt_delta"], b["gt_delta"], atol=1e-6)
+                assert a["collisions"]["count"] == b["collisions"]["count"]
+    finally:
+        shm.close()
