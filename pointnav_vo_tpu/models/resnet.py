@@ -178,7 +178,9 @@ class GNResNet(nn.Module):
                     ngroups=self.ngroups,
                     stride=s,
                     has_downsample=needs_down,
-                    cardinality=self.cardinality,
+                    # reference quirk: _make_layer passes cardinality only to
+                    # the first block of each stage (resnet.py:197-210)
+                    cardinality=self.cardinality if j == 0 else 1,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{j}",
                 )

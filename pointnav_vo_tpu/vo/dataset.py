@@ -254,6 +254,51 @@ class FramePairReader:
         )
 
 
+class PrefetchingLoader:
+    """Background-thread prefetch over any batch iterator.
+
+    Plays the role of the reference's 20 DataLoader worker processes
+    (engine:32-33) in the TPU design: since the heavy per-sample math moved
+    on device, the host only needs to hide HDF5 decode latency behind device
+    compute.  h5py releases the GIL during reads, so a thread (plus the C++
+    shm ring for multi-process scaling, pointnav_vo_tpu/native) is the right
+    tool — no fork, no tensor fd-sharing gymnastics (the reference's
+    fast_collate_func essay, dataset:572-616).
+    """
+
+    def __init__(self, make_iter, depth: int = 4):
+        self._make_iter = make_iter
+        self._depth = depth
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self._depth)
+        _END = object()
+        err = []
+
+        def feed():
+            try:
+                for item in self._make_iter():
+                    q.put(item)
+            except Exception as e:  # surface in the consumer thread
+                err.append(e)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=feed, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
+
+
 # ---------------------------------------------------------------------------
 # Scripted dataset generation (habitat-free stand-in for generate_datasets.py)
 # ---------------------------------------------------------------------------

@@ -341,9 +341,14 @@ class VORegressionEngine:
         n_batches = 0
         t0 = time.perf_counter()
         n_samples = 0
-        for batch in self.train_reader.iter_batches(
-            self.tcfg.batch_size, rng=rng_np, drop_last=True
-        ):
+        from pointnav_vo_tpu.vo.dataset import PrefetchingLoader
+
+        loader = PrefetchingLoader(
+            lambda: self.train_reader.iter_batches(
+                self.tcfg.batch_size, rng=rng_np, drop_last=True
+            )
+        )
+        for batch in loader:
             arrs = _batch_to_device(batch)
             self.rng, sub = jax.random.split(self.rng)
             self.variables, self.opt_state, metrics = self._train_step(
