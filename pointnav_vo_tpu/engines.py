@@ -379,8 +379,40 @@ class _BaseRLEngine:
         return trainer
 
     def eval(self, ckpt_path: Optional[str] = None, num_episodes: Optional[int] = None):
+        """Single checkpoint or a full sweep over a checkpoint folder
+        (reference BaseRLTrainer.eval, base_trainer.py:76-153)."""
         cfg = self.config
         ckpt_path = ckpt_path or cfg.EVAL.EVAL_CKPT_PATH
+        if ckpt_path and os.path.isdir(ckpt_path):
+            results = {}
+            for f in sorted(os.listdir(ckpt_path),
+                            key=lambda f: os.path.getmtime(os.path.join(ckpt_path, f))):
+                p = os.path.join(ckpt_path, f)
+                results[f] = self._eval_checkpoint(p, num_episodes)
+            return results
+        return self._eval_checkpoint(ckpt_path, num_episodes)
+
+    def _merged_eval_config(self, ckpt_path: Optional[str]) -> Config:
+        """Merge priority eval_cfg(EVAL node) > ckpt_cfg (base_trainer.py:319-356):
+        the checkpoint's training config defines the model/task; the live
+        config's EVAL node and process count win."""
+        cfg = self.config
+        if not (ckpt_path and os.path.isfile(ckpt_path) and not ckpt_path.endswith(".pth")):
+            return cfg
+        _, meta = load_checkpoint(ckpt_path)
+        if "full_config" not in meta:
+            return cfg
+        merged = Config(meta["full_config"])
+        merged.merge_from_dict({"EVAL": cfg.EVAL.to_dict(),
+                                "NUM_PROCESSES": cfg.NUM_PROCESSES})
+        for key in ("LOG_DIR", "LOG_FILE", "INFO_DIR", "CHECKPOINT_FOLDER",
+                    "TENSORBOARD_DIR", "VIDEO_DIR"):
+            if key in cfg:
+                merged[key] = cfg[key]
+        return merged
+
+    def _eval_checkpoint(self, ckpt_path: Optional[str], num_episodes: Optional[int] = None):
+        cfg = self._merged_eval_config(ckpt_path)
         envs = self._make_envs()
         variables = None
         if ckpt_path and os.path.isfile(ckpt_path):
@@ -409,8 +441,17 @@ class _BaseRLEngine:
         )
         n = num_episodes or (cfg.EVAL.TEST_EPISODE_COUNT
                              if cfg.EVAL.TEST_EPISODE_COUNT > 0 else 100)
+        video_episodes = 3 if ("disk" in cfg.get("VIDEO_OPTION", [])) else 0
+        ranked_dir = (os.path.join(cfg.INFO_DIR, "ranked_imgs")
+                      if cfg.EVAL.get("SAVE_RANKED_IMGS") else None)
         t0 = time.perf_counter()
-        metrics = evaluator.run(n)
+        metrics = evaluator.run(
+            n,
+            video_dir=cfg.get("VIDEO_DIR") if video_episodes else None,
+            video_episodes=video_episodes,
+            ranked_img_dir=ranked_dir,
+            rank_top_k=cfg.EVAL.get("RANK_TOP_K", 20),
+        )
         metrics["wall_clock_s"] = time.perf_counter() - t0
         save_info_dict({k: [v] for k, v in metrics.items()},
                        os.path.join(cfg.INFO_DIR, "eval_infos.p"))

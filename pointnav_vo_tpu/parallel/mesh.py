@@ -27,6 +27,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def init_distributed() -> None:
+    """Multi-host rendezvous (the init_distrib_slurm analogue,
+    ddp_utils.py:117-161): coordinator/rank/world-size from SLURM_* or
+    JAX_COORDINATOR_* env vars; single-host is a no-op (all local devices
+    are already visible)."""
+    import os
+
+    if os.environ.get("SLURM_NTASKS", "1") == "1" and "JAX_COORDINATOR_ADDRESS" not in os.environ:
+        return
+    coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator is None:
+        nodelist = os.environ.get("SLURM_STEP_NODELIST", "localhost")
+        coordinator = nodelist.split(",")[0].split("[")[0] + ":8476"
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=int(os.environ.get("SLURM_NTASKS", 1)),
+        process_id=int(os.environ.get("SLURM_PROCID", 0)),
+    )
+
+
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if n_devices is not None:

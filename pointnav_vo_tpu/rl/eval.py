@@ -93,10 +93,22 @@ class Evaluator:
         )
         return delta, std
 
-    def run(self, num_episodes: int, log_fn=None) -> Dict[str, float]:
+    def run(
+        self,
+        num_episodes: int,
+        log_fn=None,
+        video_dir: Optional[str] = None,
+        video_episodes: int = 0,
+        ranked_img_dir: Optional[str] = None,
+        rank_top_k: int = 20,
+        tb_writer=None,
+    ) -> Dict[str, float]:
         envs = self.envs
         n = envs.num_envs
         obs = envs.reset()
+        frames: List[np.ndarray] = []  # env 0 rgb frames for video
+        videos_done = 0
+        ranked_records: List[dict] = []
 
         hidden = self.model.initial_hidden(n)
         prev_actions = jnp.zeros((n, 1), jnp.int32)
@@ -149,6 +161,18 @@ class Evaluator:
                 std_np = np.asarray(std)
                 gt = np.stack([i["gt_delta"] for i in infos])
                 live = ~dones
+                if ranked_img_dir and live.any() and "rgb" in new_obs:
+                    errs = np.linalg.norm(delta_np - gt, axis=-1)
+                    worst = int(np.argmax(np.where(live, errs, -1)))
+                    ranked_records.append({
+                        "vo_l2": float(errs[worst]),
+                        "prev_rgb": np.asarray(obs_dev["rgb"][worst]),
+                        "cur_rgb": np.asarray(new_obs["rgb"][worst]),
+                        "action": int(actions_np[worst]),
+                    })
+                    ranked_records = sorted(
+                        ranked_records, key=lambda r: -r["vo_l2"]
+                    )[: 4 * rank_top_k]
                 if live.any():
                     vo_l2.append(np.linalg.norm(delta_np[live] - gt[live], axis=-1))
                     vo_std.append(std_np[live])
@@ -172,6 +196,17 @@ class Evaluator:
                             true_rel = np.asarray(info["agent_pos_episodic"])
                             drift.append(float(np.linalg.norm(est[i] - true_rel)))
                 timing["vo"] += time.perf_counter() - t0
+
+            if videos_done < video_episodes and "rgb" in new_obs:
+                frames.append(np.asarray(new_obs["rgb"][0]).astype(np.uint8))
+                if dones[0]:
+                    from pointnav_vo_tpu.vis.maps import generate_video
+
+                    generate_video(frames, video_dir,
+                                   f"episode_{videos_done}", tb_writer=tb_writer,
+                                   tb_step=videos_done)
+                    frames = []
+                    videos_done += 1
 
             for i, d in enumerate(dones):
                 if d and len(results) < num_episodes:
@@ -216,4 +251,8 @@ class Evaluator:
             agg["stuck_both"] = float(stuck["both"])
         if drift:
             agg["global_drift_mean"] = float(np.mean(drift))
+        if ranked_img_dir and ranked_records:
+            from pointnav_vo_tpu.vis.maps import save_ranked_error_images
+
+            save_ranked_error_images(ranked_records, ranked_img_dir, top_k=rank_top_k)
         return agg

@@ -1,0 +1,63 @@
+"""Eval extras: video capture, ranked-error dumps, checkpoint-sweep driver."""
+
+import os
+
+import numpy as np
+
+import jax
+
+from pointnav_vo_tpu.rl.envs import EnvConfig, make_scripted_vector_env
+from pointnav_vo_tpu.rl.eval import Evaluator
+
+from test_eval import ENV_CFG, GreedyGoalPolicy, _gt_vo_fn
+
+
+def test_eval_with_video_and_ranked(tmp_path):
+    cfg = EnvConfig(image_h=16, image_w=16, max_episode_steps=60,
+                    actuation_noise_multiplier=0.0, rgb_noise_intensity=0.0,
+                    depth_noise_multiplier=0.0)
+    envs = make_scripted_vector_env(cfg, num_envs=2, seed=1)
+    model = GreedyGoalPolicy(turn_angle_deg=cfg.turn_angle_deg,
+                             success_distance=cfg.success_distance)
+    ev = Evaluator(model=model, variables={"params": {}}, envs=envs,
+                   vo_fn=_gt_vo_fn)
+    agg = ev.run(
+        num_episodes=3,
+        video_dir=str(tmp_path / "videos"),
+        video_episodes=2,
+        ranked_img_dir=str(tmp_path / "ranked"),
+        rank_top_k=5,
+    )
+    assert agg["success"] == 1.0
+    vids = os.listdir(tmp_path / "videos")
+    assert len(vids) >= 1 and vids[0].endswith(".mp4")
+    ranked = os.listdir(tmp_path / "ranked")
+    assert "manifest.json" in ranked and len(ranked) > 1
+
+
+def test_rl_engine_checkpoint_sweep(tmp_path):
+    """Train 2 updates with CHECKPOINT_INTERVAL 1 -> sweep-eval the folder."""
+    import pointnav_vo_tpu.engines  # noqa: F401
+    from pointnav_vo_tpu.run import main
+
+    log_root = str(tmp_path / "logs")
+    overrides = [
+        "NUM_UPDATES", "2", "NUM_PROCESSES", "2",
+        "RL.PPO.num_steps", "4", "RL.PPO.num_mini_batch", "2",
+        "RL.TUNE_WITH_VO", "False", "VO.USE_VO_MODEL", "False",
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT", "32",
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH", "32",
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT", "32",
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH", "32",
+        "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "10",
+        "CHECKPOINT_INTERVAL", "1", "LOG_INTERVAL", "1",
+    ]
+    main(["--task-type", "rl", "--run-type", "train", "--log-root", log_root,
+          "--noise", "0"] + overrides)
+    run_dir = os.path.join(log_root, os.listdir(log_root)[0])
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    assert len(os.listdir(ckpt_dir)) == 2
+
+    main(["--task-type", "rl", "--run-type", "eval", "--log-root", log_root,
+          "--noise", "0", "EVAL.EVAL_CKPT_PATH", ckpt_dir,
+          "EVAL.TEST_EPISODE_COUNT", "2"] + overrides)
