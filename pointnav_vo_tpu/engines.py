@@ -178,6 +178,8 @@ class VOGeoInvarianceEngine:
             loss_inv_weight=vo.GEOMETRY.loss_inv_weight,
             log_interval=config.LOG_INTERVAL,
             seed=config.SEED,
+            debug=vo.get("debug", 0),
+            log_grad=vo.TRAIN.get("log_grad", False),
         )
 
         def reader(path):
@@ -337,11 +339,25 @@ class _BaseRLEngine:
             total_updates=cfg.NUM_UPDATES,
             reward_window_size=self.ppo_cfg.reward_window_size,
         )
+        start_update = 0
+        if cfg.RESUME_TRAIN and os.path.isfile(cfg.RESUME_STATE_FILE):
+            # resume from an interrupted/periodic checkpoint
+            # (ddppo_trainer.py:323-391 requeue_stats path)
+            tree, meta = load_checkpoint(
+                cfg.RESUME_STATE_FILE,
+                {"params": trainer.params, "opt_state": trainer.opt_state},
+            )
+            trainer.params = tree["params"]
+            trainer.opt_state = tree["opt_state"]
+            start_update = int(meta.get("update", 0))
+            trainer.count_steps = int(meta.get("count_steps", 0))
+            trainer.update_idx = start_update
+            self.logger.info(f"resumed from {cfg.RESUME_STATE_FILE} @ update {start_update}")
         from pointnav_vo_tpu.utils import preemption
 
         preemption.install_signal_handlers()
         with TensorboardWriter(cfg.get("TENSORBOARD_DIR")) as tb:
-            for update in range(cfg.NUM_UPDATES):
+            for update in range(start_update, cfg.NUM_UPDATES):
                 if preemption.should_exit():
                     preemption.save_interrupted_state(
                         {"params": trainer.params, "opt_state": trainer.opt_state},

@@ -77,6 +77,7 @@ class ScriptedPointNavEnv:
 
     def __init__(self, cfg: EnvConfig, seed: int = 0):
         self.cfg = cfg
+        self._base_seed = seed
         self.rng = np.random.default_rng(seed)
         self._episode_id = -1
         self._col_angles = None
@@ -168,6 +169,17 @@ class ScriptedPointNavEnv:
         self._prev_dist = self.start_dist
         obs = self._render()
         obs["pointgoal_with_gps_compass"] = _polar_goal(self.pos, self.yaw, self.goal)
+        return obs
+
+    def reset_to_episode(self, episode_id: int):
+        """Deterministically replay a specific episode (the vis helper of
+        reference vis/modified_env.py:16-84): episodes are a pure function of
+        (seed, episode index)."""
+        self.rng = np.random.default_rng(self._base_seed)
+        self._episode_id = -1
+        obs = self.reset()
+        while self._episode_id < episode_id:
+            obs = self.reset()
         return obs
 
     @property

@@ -91,6 +91,7 @@ class DDPPOTrainer:
         self.vo = vo_ensemble
         self.mesh = mesh
         self.rng = rng
+        self.total_updates = total_updates
 
         obs0 = envs.reset()
         self._last_obs = {k: jnp.asarray(v) for k, v in obs0.items()}
@@ -144,25 +145,26 @@ class DDPPOTrainer:
     def _build_update(self):
         model, cfg, tx = self.model, self.cfg, self.tx
         if self.mesh is None:
-            def update(params, opt_state, rollouts, rng):
-                return ppo_update(model, cfg, tx, params, opt_state, rollouts, rng)
+            def update(params, opt_state, rollouts, rng, clip):
+                return ppo_update(model, cfg, tx, params, opt_state, rollouts, rng,
+                                  clip_param=clip)
             return jax.jit(update)
 
         mesh = self.mesh
         r_spec = rollout_pspec(self.rollouts)
 
-        def local_update(params, opt_state, rollouts, rng):
+        def local_update(params, opt_state, rollouts, rng, clip):
             rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
             return ppo_update(
                 model, cfg, tx, params, opt_state, rollouts, rng,
-                axis_name=DATA_AXIS,
+                clip_param=clip, axis_name=DATA_AXIS,
             )
 
         return jax.jit(
             shard_map(
                 local_update,
                 mesh=mesh,
-                in_specs=(P(), P(), r_spec, P()),
+                in_specs=(P(), P(), r_spec, P(), P()),
                 out_specs=(P(), P(), P()),
                 check_vma=False,
             )
@@ -238,8 +240,12 @@ class DDPPOTrainer:
             self.rollouts, next_value, self.cfg.use_gae, self.cfg.gamma, self.cfg.tau
         )
         self.rng, up_rng = jax.random.split(self.rng)
+        clip = self.cfg.clip_param
+        if getattr(self.cfg, "use_linear_clip_decay", False) and self.total_updates:
+            # LambdaLR(linear_decay) on the clip parameter (reference train loop)
+            clip = clip * max(0.0, 1.0 - self.update_idx / self.total_updates)
         self.params, self.opt_state, stats = self._sharded_update(
-            self.params, self.opt_state, rollouts, up_rng
+            self.params, self.opt_state, rollouts, up_rng, jnp.asarray(clip)
         )
         self.rollouts = rollout_lib.after_update(rollouts)
         self.timing["update"] += time.perf_counter() - t0

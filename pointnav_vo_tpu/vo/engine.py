@@ -76,6 +76,12 @@ class VOTrainConfig:
     loss_inv_weight: float = 1.0
     log_interval: int = 10
     seed: int = 0
+    # VO.debug == 1 -> jax_debug_nans (the autograd.detect_anomaly analogue,
+    # reference engine:858-862)
+    debug: int = 0
+    # log per-submodule gradient norms each step (reference _log_grad,
+    # vo_cnn_engine.py:230-262)
+    log_grad: bool = False
 
     @property
     def multiplier_dict(self) -> Dict[str, float]:
@@ -228,6 +234,10 @@ def make_train_step(model, icfg: VOInferenceConfig, tcfg: VOTrainConfig, tx,
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             metrics = jax.lax.pmean(metrics, axis_name)
+        if tcfg.log_grad:
+            metrics["grad/global_norm"] = optax.global_norm(grads)
+            for top, sub in grads.items():
+                metrics[f"grad/{top}_norm"] = optax.global_norm(sub)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return {"params": params, "batch_stats": new_stats}, opt_state, metrics
@@ -275,6 +285,8 @@ class VORegressionEngine:
         self.model = icfg.make_model()
         self.rng = jax.random.PRNGKey(tcfg.seed)
         self.epoch = 0
+        if tcfg.debug:
+            jax.config.update("jax_debug_nans", True)
 
         n_experts = len(tcfg.expert_actions)
         if init_variables_per_expert is not None:
