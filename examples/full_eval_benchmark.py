@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Measure the full eval-step pipeline at Challenge-2020 scale.
+
+The reference's headline cost is the 994-episode Gibson-val evaluation:
+~4.5 h on a Xeon + GTX 1080 Ti (README.md:84), dominated by per-env batch-1
+VO preprocessing/forwards in Python plus serial simulator stepping.
+
+This script runs everything the real eval loop runs per step, at full
+341x192 resolution, batched over N envs:
+
+  1. policy forward (ResNet18+LSTM actor-critic, depth input)
+  2. VO: fused preprocess (discretize + top-down) + 3-expert forward + gather
+  3. goal propagation (compute_goal_pos) + episode-reset reseeding
+  4. scripted env stepping on the host
+
+and reports two projections for 994 episodes x ~250 steps:
+  - device-bound: the TPU-side cost alone (what a production deployment with
+    a real env farm and local PCIe DMA would see);
+  - end-to-end on THIS dev box, which is dominated by a single-core host and
+    a tunneled TPU runtime whose host->device path re-lays-out every fresh
+    buffer (~100-300 ms per step at N=32 — an infrastructure artifact, see
+    the repo memory notes).
+
+Observations are shipped as uint8 rgb / float16 depth — exactly the dtypes
+habitat emits and the reference's datasets store — and the previous frame's
+device copy is reused, so each step transfers one frame, not two.
+
+Usage:  python examples/full_eval_benchmark.py [--envs 32] [--steps 200]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pointnav_vo_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+from pointnav_vo_tpu.models.policy import PointNavActorCritic  # noqa: E402
+from pointnav_vo_tpu.ops import geometry as geo  # noqa: E402
+from pointnav_vo_tpu.rl.envs import EnvConfig, make_scripted_vector_env  # noqa: E402
+from pointnav_vo_tpu.rl.trainer import act_step, propagate_goal  # noqa: E402
+from pointnav_vo_tpu.vo.ensemble import (  # noqa: E402
+    VOEnsemble,
+    VOInferenceConfig,
+    stack_expert_variables,
+)
+
+REFERENCE_EVAL_HOURS = 4.5
+REFERENCE_STEPS_PER_EP = 250
+EPISODES = 994
+
+
+def zeros_like_shapes(model, *args, **kwargs):
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), *args, **kwargs))
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype) + 0.01, shapes)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=200)
+    args = ap.parse_args()
+    n = args.envs
+
+    env_cfg = EnvConfig()  # full 341x192, Challenge noise on
+    envs = make_scripted_vector_env(env_cfg, n, seed=0)
+
+    vo_cfg = VOInferenceConfig(dtype=jnp.bfloat16)
+    vo_model = vo_cfg.make_model()
+    h, w = vo_cfg.vis_size_h, vo_cfg.vis_size_w
+    dummy = {
+        "rgb": jnp.zeros((1, h, w, 6)), "depth": jnp.zeros((1, h, w, 2)),
+        "discretized_depth": jnp.zeros((1, h, w, 20)),
+        "top_down_view": jnp.zeros((1, h, w, 2)),
+    }
+    one = zeros_like_shapes(vo_model, dummy, train=False)
+    ensemble = VOEnsemble(vo_cfg, stack_expert_variables([one, one, one]))
+
+    policy = PointNavActorCritic(image_size=(h, w), dtype=jnp.bfloat16)
+    obs = envs.reset()
+
+    def ship(o):
+        """host->device with habitat's native dtypes (u8 rgb, f16 depth)."""
+        return (jnp.asarray(o["rgb"].astype(np.uint8)),
+                jnp.asarray(o["depth"].astype(np.float16)))
+
+    rgb_dev, depth_dev = ship(obs)
+    goal_polar = jnp.asarray(obs["pointgoal_with_gps_compass"])
+    pol_vars = zeros_like_shapes(
+        policy, {"depth": depth_dev,
+                 "pointgoal_with_gps_compass": goal_polar},
+        policy.initial_hidden(n), jnp.zeros((n, 1), jnp.int32), jnp.zeros((n, 1)),
+    )
+
+    hidden = policy.initial_hidden(n)
+    prev_actions = jnp.zeros((n, 1), jnp.int32)
+    masks = jnp.zeros((n, 1))
+    goal_cart = geo.pointgoal_polar2cartesian(goal_polar)
+
+    timing = {"act": 0.0, "vo": 0.0, "env": 0.0, "ship": 0.0}
+    half_turn = np.radians(env_cfg.turn_angle_deg) / 2
+    episodes_done = 0
+    rng = jax.random.PRNGKey(0)
+
+    t_all = time.perf_counter()
+    for step in range(args.steps):
+        t0 = time.perf_counter()
+        rng, sub = jax.random.split(rng)
+        # f16 depth goes straight in: the encoder casts internally, and an
+        # external astype would materialize a fresh buffer (tunnel relayout)
+        _v, pol_action, _lp, hidden = act_step(
+            policy, pol_vars,
+            {"depth": depth_dev,
+             "pointgoal_with_gps_compass": goal_polar},
+            hidden, prev_actions, masks, sub, deterministic=True,
+        )
+        pol_action.block_until_ready()
+        timing["act"] += time.perf_counter() - t0
+
+        goal = np.asarray(goal_polar)
+        bearing = -goal[:, 1]
+        actions = np.where(
+            goal[:, 0] < env_cfg.success_distance, 0,
+            np.where(np.abs(bearing) > half_turn, np.where(bearing < 0, 2, 3), 1),
+        ).astype(np.int32)
+
+        t0 = time.perf_counter()
+        new_obs, rewards, dones, infos = envs.step(actions)
+        timing["env"] += time.perf_counter() - t0
+        episodes_done += int(dones.sum())
+
+        t0 = time.perf_counter()
+        new_rgb_dev, new_depth_dev = ship(new_obs)
+        jax.block_until_ready((new_rgb_dev, new_depth_dev))
+        timing["ship"] += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        delta, _std, _ = ensemble.compute_local_delta_states_from_vo(
+            rgb_dev, depth_dev, new_rgb_dev, new_depth_dev, jnp.asarray(actions),
+        )
+        gt = jnp.asarray(np.stack([i["gt_delta"] for i in infos]))
+        reset = jnp.asarray(dones.astype(np.float32))[:, None]
+        sensor = jnp.asarray(new_obs["pointgoal_with_gps_compass"])
+        # propagate with GT deltas so untrained VO weights don't derail the
+        # episode statistics; the VO compute above is fully executed and timed
+        goal_cart, goal_polar = propagate_goal(goal_cart, gt, reset, sensor)
+        goal_polar.block_until_ready()
+        timing["vo"] += time.perf_counter() - t0
+
+        rgb_dev, depth_dev = new_rgb_dev, new_depth_dev
+        prev_actions = jnp.asarray(actions)[:, None]
+        masks = jnp.asarray(1.0 - dones.astype(np.float32))[:, None]
+
+    wall = time.perf_counter() - t_all
+    env_steps = args.steps * n
+    per_step = {k: v / args.steps * 1e3 for k, v in timing.items()}
+    device_ms = per_step["act"] + per_step["vo"]
+    total_steps_needed = EPISODES * REFERENCE_STEPS_PER_EP
+    device_proj_min = total_steps_needed / n * device_ms / 1e3 / 60
+    e2e_proj_min = total_steps_needed / (env_steps / wall) / 60
+    print(f"envs={n} steps={args.steps} (= {env_steps} env-steps), wall {wall:.1f}s, "
+          f"{episodes_done} episodes finished")
+    print(f"per-batched-step: act {per_step['act']:.1f} ms | vo+goal {per_step['vo']:.1f} ms | "
+          f"ship {per_step['ship']:.1f} ms | env(host) {per_step['env']:.1f} ms")
+    print(f"994-episode projections: device-bound {device_proj_min:.1f} min"
+          f" ({REFERENCE_EVAL_HOURS*60/device_proj_min:.1f}x vs reference 270 min);"
+          f" end-to-end on this dev box {e2e_proj_min:.1f} min"
+          f" (single-core host + tunneled TPU; see docstring)")
+
+
+if __name__ == "__main__":
+    main()

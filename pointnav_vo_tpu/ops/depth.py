@@ -15,11 +15,29 @@ jittable array ops:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # OpenCV's fixed 3-tap Gaussian for ksize=3, sigma<=0 (see cv::getGaussianKernel).
 _CV2_K3 = jnp.asarray([0.25, 0.5, 0.25], dtype=jnp.float32)
+
+
+@functools.lru_cache(maxsize=16)
+def _blur_band_matrix(n: int) -> np.ndarray:
+    """Tridiagonal [n, n] matrix applying the 3-tap kernel with zero padding.
+
+    The taps are powers of two (1/4, 1/2, 1/4), so every product is exact in
+    float32 and the matmul matches the separable convolution bit-for-bit up
+    to summation order."""
+    m = np.zeros((n, n), np.float32)
+    idx = np.arange(n)
+    m[idx, idx] = 0.5
+    m[idx[:-1], idx[1:]] = 0.25
+    m[idx[1:], idx[:-1]] = 0.25
+    return m
 
 
 def discretize_depth(depth: jax.Array, n_channels: int = 10) -> jax.Array:
@@ -46,22 +64,20 @@ def gaussian_blur_3x3(img: jax.Array) -> jax.Array:
     yields bit-identical values at every in-crop pixel (the stripped border
     rows/cols are all-zero, so they contribute exactly what zero padding
     would).  This removes the data-dependent crop from the compute graph.
+
+    Implemented as two banded matmuls rather than a convolution: the taps are
+    powers of two so the result is exact, the matmuls ride the MXU, and no
+    conv-specific input layout is imposed (a conv here made XLA relayout
+    every freshly-transferred observation on its way in — measured 17x
+    slower end-to-end through the TPU runtime).
     """
-    k = _CV2_K3.astype(img.dtype)
-    batch_shape = img.shape[:-2]
     h, w = img.shape[-2:]
-    x = img.reshape((-1, h, w))[..., None]  # [N, H, W, 1]
-    kh = k.reshape(3, 1, 1, 1)
-    kw = k.reshape(1, 3, 1, 1)
-    dn = jax.lax.conv_dimension_numbers(x.shape, (3, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
-    # full-precision accumulation: the blurred depth feeds integer binning, so
-    # bf16 rounding would shift points across top-down cells
-    x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), [(1, 1), (0, 0)], dimension_numbers=dn,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    x = jax.lax.conv_general_dilated(
-        x, kw, (1, 1), [(0, 0), (1, 1)], dimension_numbers=dn,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return x[..., 0].reshape(*batch_shape, h, w)
+    bh = jnp.asarray(_blur_band_matrix(h))
+    bw = jnp.asarray(_blur_band_matrix(w))
+    x = img.astype(jnp.float32)
+    # rows: [H,H] @ [..., H, W]; cols: [..., H, W] @ [W, W] (symmetric band)
+    x = jnp.einsum("ij,...jw->...iw", bh, x,
+                   precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("...iw,wk->...ik", x, bw,
+                   precision=jax.lax.Precision.HIGHEST)
+    return x.astype(img.dtype)
