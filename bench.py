@@ -66,14 +66,18 @@ def main() -> None:
         delta, std, _ = ensemble.compute_local_delta_states_from_vo(
             prev_rgb, prev_depth, cur_rgb, cur_depth, actions
         )
-        jax.block_until_ready(delta)
+        # force full materialization through a host read (guards against the
+        # tunneled runtime acking before execution completes)
+        return float(jnp.sum(delta))
 
     for _ in range(WARMUP):
         run()
     t0 = time.perf_counter()
+    acc = 0.0
     for _ in range(ITERS):
-        run()
+        acc += run()
     dt = time.perf_counter() - t0
+    assert np.isfinite(acc)
 
     pairs_per_sec = BATCH * ITERS / dt
     print(json.dumps({
