@@ -221,7 +221,11 @@ class ScriptedPointNavEnv:
             dx, dz = 0.0, 0.0
         self.path_len += float(np.linalg.norm(new_pos - self.pos))
         self.pos = new_pos
-        self.yaw = float((self.yaw + dyaw + np.pi) % (2 * np.pi) - np.pi)
+        # yaw stays unwrapped: wrapping at +-pi flips the hemisphere of the
+        # global-rotation quaternion mid-episode, which makes per-step delta
+        # quaternions pick up a 2*pi ghost in 2*atan2(qy, qw) — exactly the
+        # dyaw targets VO regresses. Episodes are bounded, so no overflow.
+        self.yaw = float(self.yaw + dyaw)
         return (dx, dz, dyaw)
 
     def step(self, action: int):

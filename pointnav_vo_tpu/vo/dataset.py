@@ -67,11 +67,18 @@ def _q_rot(q: np.ndarray, v: np.ndarray) -> np.ndarray:
     return v + w * t + np.cross(xyz, t)
 
 
+def _q_canonical(q: np.ndarray) -> np.ndarray:
+    """Pick the w>=0 representative of the double cover, so single-step delta
+    yaws land in [-pi, pi] instead of picking up +-2*pi ghosts when the two
+    global rotations straddle hemispheres."""
+    return q * np.where(q[..., 3:4] < 0, -1.0, 1.0)
+
+
 def inverse_delta_from_global(prev_rot, prev_pos, cur_rot, cur_pos) -> np.ndarray:
     """[.., 3] = (dx, dz, dyaw) of *prev relative to cur* (the swapped-frame
     regression target, dataset:389-420)."""
     inv = _q_inv(cur_rot)
-    d_rot = _q_mul(inv, prev_rot)
+    d_rot = _q_canonical(_q_mul(inv, prev_rot))
     d_pos = _q_rot(inv, prev_pos - cur_pos)
     dyaw = 2.0 * np.arctan2(d_rot[..., 1], d_rot[..., 3])
     return np.stack([d_pos[..., 0], d_pos[..., 2], dyaw], -1).astype(np.float32)
@@ -374,7 +381,7 @@ def generate_scripted_dataset(
                 cur_grot = _yaw_to_quat(env.yaw)
                 # delta of cur relative to prev (dataset target convention)
                 inv = _q_inv(prev_grot)
-                d_rot = _q_mul(inv, cur_grot)
+                d_rot = _q_canonical(_q_mul(inv, cur_grot))
                 d_pos = _q_rot(inv, cur_gpos - prev_gpos)
                 buf.append({
                     "new_episodes": np.uint8(new_episode),

@@ -72,6 +72,18 @@ def test_reader_basic_batches(dataset_path):
         assert np.all(np.abs(fwd[:, 1] + 0.25) < 0.15)
 
 
+def test_turn_dyaw_targets_clean(dataset_path):
+    """Delta yaws must live in [-pi, pi] and concentrate at +-TURN_ANGLE —
+    regression guard against the quaternion double-cover 2*pi ghost (the env
+    keeps yaw unwrapped; delta quats are canonicalized w>=0)."""
+    reader = FramePairReader(dataset_path, W, H, act_type=TURN_LEFT)
+    batch = next(reader.iter_batches(64, rng=np.random.default_rng(2)))
+    d = batch.gt_delta[:, 2]
+    assert np.all(np.abs(d) <= np.pi)
+    want = np.radians(ENV_CFG.turn_angle_deg)
+    assert np.all(np.abs(d - want) < 0.2), (d.min(), d.max())
+
+
 def test_inverse_augmentation_pairs(dataset_path):
     reader = FramePairReader(
         dataset_path, W, H, act_type=(TURN_LEFT, TURN_RIGHT),
