@@ -18,7 +18,6 @@ default the scripted PointNav world (rl/envs.py) stands in, and
 
 from __future__ import annotations
 
-import glob
 import os
 import time
 from typing import Dict, Optional

@@ -21,7 +21,6 @@ import argparse
 import datetime
 import os
 import random
-import sys
 
 import numpy as np
 
