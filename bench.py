@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_PAIRS_PER_SEC = 40.0
-BATCH = 256
+BATCH = 512
 WARMUP = 2
 ITERS = 6
 
@@ -83,7 +83,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "vo_frame_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 2),
-        "unit": "frame-pairs/s (batch 256, 341x192 rgb-d-dd-topdown, bf16, fused preprocess+3-expert forward)",
+        "unit": "frame-pairs/s (batch 512, 341x192 rgb-d-dd-topdown, bf16, fused preprocess+3-expert forward)",
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 2),
     }))
 
