@@ -132,7 +132,9 @@ def vo_inference_config_from(config: Config, model_node: Config) -> VOInferenceC
 class VOGeoInvarianceEngine:
     """Config-facing wrapper around VORegressionEngine (reference engine)."""
 
-    def __init__(self, config: Config, run_type: str = "train", verbose: bool = True):
+    def __init__(self, config: Config, run_type: str = "train", verbose: bool = True,
+                 mesh=None):
+        self.mesh = mesh
         self.logger = get_logger(log_file=config.get("LOG_FILE"))
         # eval / resume read config back out of the checkpoint
         # (reference vo_cnn_engine.py:40-62)
@@ -203,6 +205,7 @@ class VOGeoInvarianceEngine:
             self.icfg, self.tcfg,
             train_reader=reader(train_path) if run_type == "train" else None,
             eval_reader=reader(eval_path),
+            mesh=mesh,
             log_dir=config.get("LOG_DIR"),
             init_variables_per_expert=init_per_expert,
         )
@@ -213,12 +216,9 @@ class VOGeoInvarianceEngine:
 
     def _save_ckpt(self, epoch: int) -> None:
         path = os.path.join(self.config.CHECKPOINT_FOLDER, f"ckpt_epoch_{epoch}.pkl")
-        self.engine.save_ckpt(path)
-        # embed the full experiment config for eval-from-ckpt
-        _, meta = load_checkpoint(path)
-        meta["full_config"] = self.config.to_dict()
-        save_checkpoint(path, {"variables": self.engine.variables,
-                               "opt_state": self.engine.opt_state}, meta)
+        self.engine.save_ckpt(
+            path, extra_metadata={"full_config": self.config.to_dict()}
+        )
 
     def train(self):
         from pointnav_vo_tpu.utils import preemption

@@ -104,7 +104,7 @@ def run_exp(args) -> None:
 
     if args.task_type == "vo":
         engine_cls = registry.get_vo_engine(engine_name)
-        engine = engine_cls(config, args.run_type)
+        engine = engine_cls(config, args.run_type, mesh=mesh)
     else:
         engine_cls = registry.get_trainer(engine_name)
         engine = engine_cls(config, args.run_type, noisy=bool(args.noise), mesh=mesh)

@@ -423,21 +423,23 @@ class VORegressionEngine:
                 pickle.dump({k: np.concatenate(v) if v else np.zeros(0) for k, v in dump.items()}, f)
         return out
 
-    def save_ckpt(self, path: str) -> None:
+    def save_ckpt(self, path: str, extra_metadata=None) -> None:
         """Full resumable state (reference ckpt contents, engine:1425-1447)."""
+        metadata = {
+            "epoch": self.epoch,
+            "train_config": dataclasses.asdict(self.tcfg),
+            "inference_config": {
+                k: v for k, v in dataclasses.asdict(self.icfg).items()
+                if k != "dtype"
+            },
+            "rng_key": np.asarray(self.rng),
+            "host_rng": rng_state_bundle(),
+        }
+        metadata.update(extra_metadata or {})
         save_checkpoint(
             path,
             {"variables": self.variables, "opt_state": self.opt_state},
-            metadata={
-                "epoch": self.epoch,
-                "train_config": dataclasses.asdict(self.tcfg),
-                "inference_config": {
-                    k: v for k, v in dataclasses.asdict(self.icfg).items()
-                    if k != "dtype"
-                },
-                "rng_key": np.asarray(self.rng),
-                "host_rng": rng_state_bundle(),
-            },
+            metadata=metadata,
         )
 
     def load_ckpt(self, path: str) -> Dict:
