@@ -25,6 +25,7 @@ def main() -> None:
     p.add_argument("--noise", type=int, default=1)
     p.add_argument("--exp-config", default=None)
     p.add_argument("--n-devices", type=int, default=None)
+    p.add_argument("--log-root", default=None)
     p.add_argument("opts", nargs=argparse.REMAINDER)
     args = p.parse_args()
 
@@ -38,6 +39,8 @@ def main() -> None:
     ]
     if args.n_devices:
         cmd += ["--n-devices", str(args.n_devices)]
+    if args.log_root:
+        cmd += ["--log-root", args.log_root]
     cmd += args.opts
     print(" ".join(cmd))
     os.execv(sys.executable, cmd)
