@@ -57,6 +57,10 @@ def save_checkpoint(path: str, tree: Any, metadata: Optional[Dict] = None) -> No
 def load_checkpoint(path: str, target: Any = None):
     """Returns (tree, metadata). If target is given, restores into its
     structure; otherwise returns the raw state dict-of-dicts."""
+    if not os.path.isfile(path):
+        raise FileNotFoundError(
+            f"checkpoint not found: {path!r} — pass a .pkl written by this "
+            "framework (EVAL.EVAL_CKPT_PATH / RESUME_STATE_FILE)")
     with open(path, "rb") as f:
         payload = pickle.load(f)
     metadata = pickle.loads(payload["metadata"])

@@ -102,6 +102,13 @@ class Config(dict):
             for p in parts[:-1]:
                 node = node[p]
             leaf = parts[-1]
+            if leaf not in node:
+                # trees are new_allowed (reference semantics), so a typo'd
+                # override would otherwise create a silently inert key
+                import warnings
+
+                warnings.warn(f"config override creates NEW key {key!r} — "
+                              "check for a typo", stacklevel=2)
             if isinstance(value, str):
                 value = yaml.safe_load(value)
             node[leaf] = value
