@@ -47,6 +47,58 @@ def _integrate_global(est_rot, est_pos, delta, reset_mask, seed_rot, seed_pos):
     return new_rot, new_pos
 
 
+@functools.partial(
+    jax.jit, static_argnames=("policy_model", "vo_model", "vo_cfg", "deterministic")
+)
+def fused_vo_act_step(
+    policy_model,
+    vo_model,
+    vo_cfg,
+    policy_variables,
+    vo_variables,
+    prev_rgb,
+    prev_depth,
+    cur_rgb,
+    cur_depth,
+    actions_taken,
+    goal_cart,
+    reset_mask,
+    sensor_polar,
+    hidden,
+    prev_actions,
+    masks,
+    rng,
+    deterministic: bool = True,
+):
+    """The SURVEY §7 "one jitted mega-step": VO preprocess + 3-expert forward
+    + goal propagation + policy act fused into a single XLA program — one
+    dispatch per env step instead of three (the reference runs this per env,
+    per piece, in Python: ppo_trainer.py:661-891)."""
+    from pointnav_vo_tpu.common import VO_EXPERT_ACTIONS
+    from pointnav_vo_tpu.models.policy import action_log_prob
+    from pointnav_vo_tpu.vo.ensemble import preprocess_obs_pairs
+
+    obs_pairs = preprocess_obs_pairs(prev_rgb, prev_depth, cur_rgb, cur_depth, vo_cfg)
+    preds = jax.vmap(lambda v: vo_model.apply(v, obs_pairs, train=False))(vo_variables)
+    expert_idx = jnp.clip(actions_taken.astype(jnp.int32) - 1, 0,
+                          len(VO_EXPERT_ACTIONS) - 1)
+    delta = jnp.take_along_axis(preds, expert_idx[None, :, None], axis=0)[0]
+
+    goal_cart, polar = propagate_goal(goal_cart, delta, reset_mask, sensor_polar)
+
+    policy_obs = {
+        "rgb": cur_rgb,
+        "depth": cur_depth,
+        "pointgoal_with_gps_compass": polar,
+    }
+    logits, value, new_hidden = policy_model.apply(
+        policy_variables, policy_obs, hidden, prev_actions, masks
+    )
+    action = mode_action(logits) if deterministic else sample_action(rng, logits)
+    logp = action_log_prob(logits, action)
+    return goal_cart, polar, delta, value, action.astype(jnp.int32), logp, new_hidden
+
+
 @dataclasses.dataclass
 class EpisodeResult:
     success: float
@@ -72,6 +124,7 @@ class Evaluator:
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
         stuck_thresh: float = 0.01,
+        fused: Optional[bool] = None,
     ):
         self.model = model
         self.variables = variables
@@ -81,6 +134,7 @@ class Evaluator:
         self.deterministic = deterministic
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.stuck_thresh = stuck_thresh
+        self.force_fused = fused
 
     def _vo_delta(self, prev_obs, new_obs, actions, infos):
         if self.vo_fn is not None:
@@ -130,15 +184,30 @@ class Evaluator:
         timing = {"act": 0.0, "env": 0.0, "vo": 0.0}
         steps = 0
 
-        while len(results) < num_episodes:
-            t0 = time.perf_counter()
+        # fused mega-step path: VO + goal update + NEXT policy act in one
+        # jitted dispatch (det mode; rnd's dropout ensemble stays on the
+        # two-dispatch path)
+        fused = (self.vo is not None and self.vo_fn is None
+                 and self.vo.cfg.mode == "det")
+        if self.force_fused is not None:
+            fused = self.force_fused and self.vo is not None and self.vo_fn is None
+        if fused:
             self.rng, sub = jax.random.split(self.rng)
             _v, action, _lp, hidden = act_step(
-                self.model, self.variables, obs_dev, hidden, prev_actions, masks,
-                sub, deterministic=self.deterministic,
+                self.model, self.variables, obs_dev, hidden, prev_actions,
+                masks, sub, deterministic=self.deterministic,
             )
+
+        while len(results) < num_episodes:
+            if not fused:
+                t0 = time.perf_counter()
+                self.rng, sub = jax.random.split(self.rng)
+                _v, action, _lp, hidden = act_step(
+                    self.model, self.variables, obs_dev, hidden, prev_actions, masks,
+                    sub, deterministic=self.deterministic,
+                )
+                timing["act"] += time.perf_counter() - t0
             actions_np = np.asarray(action[:, 0])
-            timing["act"] += time.perf_counter() - t0
 
             t0 = time.perf_counter()
             new_obs, rewards, dones, infos = envs.step(actions_np)
@@ -149,10 +218,25 @@ class Evaluator:
             new_obs_dev = {k: jnp.asarray(v) for k, v in new_obs.items()}
             if use_vo:
                 t0 = time.perf_counter()
-                delta, std = self._vo_delta(obs_dev, new_obs, action, infos)
                 reset = jnp.asarray(dones.astype(np.float32))[:, None]
                 sensor = new_obs_dev["pointgoal_with_gps_compass"]
-                goal_cart, polar = propagate_goal(goal_cart, delta, reset, sensor)
+                if fused:
+                    self.rng, sub = jax.random.split(self.rng)
+                    next_masks = 1.0 - reset
+                    (goal_cart, polar, delta, _value, next_action, _lp,
+                     hidden) = fused_vo_act_step(
+                        self.model, self.vo.model, self.vo.cfg,
+                        self.variables, self.vo.variables,
+                        obs_dev["rgb"], obs_dev["depth"],
+                        new_obs_dev["rgb"], new_obs_dev["depth"],
+                        action[:, 0], goal_cart, reset, sensor,
+                        hidden, action, next_masks, sub,
+                        deterministic=self.deterministic,
+                    )
+                    std = jnp.zeros_like(delta)
+                else:
+                    delta, std = self._vo_delta(obs_dev, new_obs, action, infos)
+                    goal_cart, polar = propagate_goal(goal_cart, delta, reset, sensor)
                 new_obs_dev = dict(new_obs_dev)
                 new_obs_dev["pointgoal_with_gps_compass"] = polar
 
@@ -227,6 +311,8 @@ class Evaluator:
             obs_dev = new_obs_dev
             prev_actions = action
             masks = jnp.asarray(1.0 - dones.astype(np.float32))[:, None]
+            if fused:
+                action = next_action
 
         agg = {
             "episodes": float(len(results)),

@@ -1,0 +1,47 @@
+"""Fused VO+act mega-step == the two-dispatch path (deterministic eval)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pointnav_vo_tpu.rl.envs import EnvConfig, make_scripted_vector_env
+from pointnav_vo_tpu.rl.eval import Evaluator
+from pointnav_vo_tpu.vo.ensemble import VOEnsemble, VOInferenceConfig, stack_expert_variables
+
+from _utils import fast_init
+from test_eval import GreedyGoalPolicy
+
+
+def _setup(seed):
+    cfg = VOInferenceConfig(vis_size_w=32, vis_size_h=32)
+    model = cfg.make_model()
+    dummy = {
+        "rgb": jnp.zeros((1, 32, 32, 6)),
+        "depth": jnp.zeros((1, 32, 32, 2)),
+        "discretized_depth": jnp.zeros((1, 32, 32, 20)),
+        "top_down_view": jnp.zeros((1, 32, 32, 2)),
+    }
+    per = [fast_init(model, dummy, train=False, seed=i) for i in range(3)]
+    ens = VOEnsemble(cfg, stack_expert_variables(per))
+    env_cfg = EnvConfig(image_h=32, image_w=32, max_episode_steps=12,
+                        actuation_noise_multiplier=0.0, rgb_noise_intensity=0.0,
+                        depth_noise_multiplier=0.0)
+    envs = make_scripted_vector_env(env_cfg, num_envs=2, seed=seed)
+    policy = GreedyGoalPolicy(turn_angle_deg=env_cfg.turn_angle_deg,
+                              success_distance=env_cfg.success_distance)
+    return ens, envs, policy
+
+
+def test_fused_matches_unfused():
+    results = {}
+    for fused in (True, False):
+        ens, envs, policy = _setup(seed=5)
+        ev = Evaluator(model=policy, variables={"params": {}}, envs=envs,
+                       vo_ensemble=ens, rng=jax.random.PRNGKey(0), fused=fused)
+        results[fused] = ev.run(num_episodes=3)
+    for key in ("success", "spl", "distance_to_goal", "total_env_steps"):
+        np.testing.assert_allclose(results[True][key], results[False][key],
+                                   atol=1e-5, err_msg=key)
+    np.testing.assert_allclose(results[True]["vo_l2_mean"],
+                               results[False]["vo_l2_mean"], rtol=1e-4)
