@@ -19,6 +19,7 @@ default the scripted PointNav world (rl/envs.py) stands in, and
 from __future__ import annotations
 
 import os
+import pickle
 import time
 from typing import Dict, Optional
 
@@ -344,10 +345,12 @@ class _BaseRLEngine:
             # (ddppo_trainer.py:323-391 requeue_stats path)
             tree, meta = load_checkpoint(
                 cfg.RESUME_STATE_FILE,
-                {"params": trainer.params, "opt_state": trainer.opt_state},
+                {"params": trainer.params, "opt_state": trainer.opt_state,
+                 "extra_variables": trainer.variables},
             )
             trainer.params = tree["params"]
             trainer.opt_state = tree["opt_state"]
+            trainer.variables = dict(tree.get("extra_variables", trainer.variables))
             start_update = int(meta.get("update", 0))
             trainer.count_steps = int(meta.get("count_steps", 0))
             trainer.update_idx = start_update
@@ -359,7 +362,8 @@ class _BaseRLEngine:
             for update in range(start_update, cfg.NUM_UPDATES):
                 if preemption.should_exit():
                     preemption.save_interrupted_state(
-                        {"params": trainer.params, "opt_state": trainer.opt_state},
+                        {"params": trainer.params, "opt_state": trainer.opt_state,
+                         "extra_variables": trainer.variables},
                         metadata={"full_config": cfg.to_dict(), "update": update,
                                   "count_steps": trainer.count_steps},
                     )
@@ -383,7 +387,11 @@ class _BaseRLEngine:
                     )
                     save_checkpoint(
                         path,
-                        {"params": trainer.params, "opt_state": trainer.opt_state},
+                        # full variables: params + whitening batch_stats etc,
+                        # so rgb policies restore their RunningMeanAndVar
+                        # buffers (torch state_dict parity)
+                        {"params": trainer.params, "opt_state": trainer.opt_state,
+                         "extra_variables": trainer.variables},
                         metadata={
                             "full_config": cfg.to_dict(),
                             "engine_name": cfg.ENGINE_NAME,
@@ -400,10 +408,19 @@ class _BaseRLEngine:
         ckpt_path = ckpt_path or cfg.EVAL.EVAL_CKPT_PATH
         if ckpt_path and os.path.isdir(ckpt_path):
             results = {}
-            for f in sorted(os.listdir(ckpt_path),
+            # only real checkpoints: a leftover .tmp from an interrupted
+            # atomic save or a stray log must not abort the whole sweep
+            files = [
+                f for f in os.listdir(ckpt_path)
+                if f.startswith("ckpt") and f.endswith((".pkl", ".pth"))
+            ]
+            for f in sorted(files,
                             key=lambda f: os.path.getmtime(os.path.join(ckpt_path, f))):
                 p = os.path.join(ckpt_path, f)
-                results[f] = self._eval_checkpoint(p, num_episodes)
+                try:
+                    results[f] = self._eval_checkpoint(p, num_episodes)
+                except (OSError, pickle.UnpicklingError, EOFError) as e:
+                    self.logger.warning(f"skipping unreadable checkpoint {p}: {e}")
             return results
         return self._eval_checkpoint(ckpt_path, num_episodes)
 
@@ -440,7 +457,8 @@ class _BaseRLEngine:
                     variables["batch_stats"] = loaded["batch_stats"]
             else:
                 tree, _ = load_checkpoint(ckpt_path)
-                variables = {"params": tree["params"]}
+                variables = {"params": tree["params"],
+                             **tree.get("extra_variables", {})}
         if variables is None:
             obs0 = envs.reset()
             dummy = {k: jnp.asarray(v[:1]) for k, v in obs0.items()}

@@ -16,12 +16,26 @@ _LIB = None
 
 
 def _build() -> str:
+    """Build from source unless an existing .so matches the current source
+    hash — never dlopen an unreviewed binary (build/ is gitignored; a
+    checked-out blob with a fresh mtime would pass an mtime check)."""
+    import hashlib
+
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    if not os.path.isfile(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+    with open(_SRC, "rb") as f:
+        src_hash = hashlib.sha256(f.read()).hexdigest()
+    stamp = _SO + ".srchash"
+    have = None
+    if os.path.isfile(stamp):
+        with open(stamp) as f:
+            have = f.read().strip()
+    if not os.path.isfile(_SO) or have != src_hash:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC, "-lrt"],
             check=True,
         )
+        with open(stamp, "w") as f:
+            f.write(src_hash)
     return _SO
 
 

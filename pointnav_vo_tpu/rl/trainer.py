@@ -53,6 +53,21 @@ def act_step(model, variables, observations, hidden, prev_actions, masks, rng,
     return value, action.astype(jnp.int32), logp, new_hidden
 
 
+@functools.partial(jax.jit, static_argnames=("model", "deterministic"))
+def act_step_update_stats(model, variables, observations, hidden, prev_actions,
+                          masks, rng, deterministic: bool = False):
+    """act_step that also folds the batch into the policy's RunningMeanAndVar
+    whitening buffers — the analogue of the reference's train-mode forward
+    during rollout collection (rgb policies with normalize_visual_inputs)."""
+    (logits, value, new_hidden), mut = model.apply(
+        variables, observations, hidden, prev_actions, masks,
+        update_stats=True, mutable=["batch_stats"],
+    )
+    action = mode_action(logits) if deterministic else sample_action(rng, logits)
+    logp = action_log_prob(logits, action)
+    return value, action.astype(jnp.int32), logp, new_hidden, mut["batch_stats"]
+
+
 @functools.partial(jax.jit, static_argnames=())
 def propagate_goal(goal_cart, delta, reset_mask, sensor_polar):
     """Dead-reckon the goal through a VO delta; re-seed on episode reset.
@@ -193,10 +208,17 @@ class DDPPOTrainer:
             self.rng, act_rng = jax.random.split(self.rng)
             variables = dict(self.variables)
             variables["params"] = self.params
-            value, action, logp, new_hidden = act_step(
-                self.model, variables, self._last_obs, self.hidden,
-                self.prev_actions, self.masks, act_rng,
-            )
+            if self.variables.get("batch_stats"):
+                value, action, logp, new_hidden, new_stats = act_step_update_stats(
+                    self.model, variables, self._last_obs, self.hidden,
+                    self.prev_actions, self.masks, act_rng,
+                )
+                self.variables["batch_stats"] = new_stats
+            else:
+                value, action, logp, new_hidden = act_step(
+                    self.model, variables, self._last_obs, self.hidden,
+                    self.prev_actions, self.masks, act_rng,
+                )
             actions_np = np.asarray(action[:, 0])
             self.timing["act"] += time.perf_counter() - t0
 

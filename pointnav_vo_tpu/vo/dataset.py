@@ -144,6 +144,41 @@ class FramePairReader:
         """Number of primary (non-augmented) samples."""
         return self._len
 
+    def _count_samples(self, actions: np.ndarray) -> int:
+        """Samples one chunk yields — mirrors :meth:`_chunk_samples` exactly
+        (actions-only, no image decode)."""
+        inv_requested = (
+            "inverse_data_augment_only" in self.geo_types
+            or "inverse_joint_train" in self.geo_types
+        )
+        joint = "inverse_joint_train" in self.geo_types
+        n = 0
+        for a in actions:
+            a = int(a)
+            primary = (
+                self.act_type == -1
+                or (isinstance(self.act_type, int) and a == self.act_type)
+                or joint
+            )
+            if primary:
+                n += 1
+            if inv_requested and a != MOVE_FORWARD and self.act_type != -1:
+                if joint or a != self.act_type:
+                    n += 1
+        return n
+
+    def num_samples(self) -> int:
+        """Exact number of samples one epoch yields (primaries + inverse-
+        augmented twins) — the eval-count tripwire of reference
+        engine:1131-1142 needs this as the expected total."""
+        total = 0
+        with h5py.File(self.path, "r") as f:
+            for key in self.chunk_keys:
+                grp = f[key]
+                idx = self._valid_indices(grp)
+                total += self._count_samples(grp["actions"][()][idx])
+        return total
+
     def _decode_chunk(self, grp) -> Dict[str, np.ndarray]:
         h, w = self.h, self.w
         return {

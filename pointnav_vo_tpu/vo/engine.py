@@ -87,6 +87,19 @@ class VOTrainConfig:
     def multiplier_dict(self) -> Dict[str, float]:
         return dict(self.loss_weight_multiplier)
 
+    def __post_init__(self):
+        if self.joint:
+            # joint inverse training relies on the (primary, swapped-twin)
+            # adjacency of the loader: turn-only actions so every sample has
+            # a twin, and an even batch so no pair straddles a batch boundary
+            # (reference alternating-layout assert, engine:367-374)
+            assert self.batch_size % 2 == 0, (
+                "inverse_joint_train needs an even batch_size: pairs must not "
+                f"straddle batch boundaries (got {self.batch_size})")
+            assert set(self.expert_actions) == {TURN_LEFT, TURN_RIGHT}, (
+                "inverse_joint_train is defined for action_type [2, 3] "
+                f"(turn experts), got action_type={self.action_type!r}")
+
     @property
     def joint(self) -> bool:
         return "inverse_joint_train" in self.geo_invariance_types
@@ -126,6 +139,16 @@ def pad_batch(arrs: Dict[str, jnp.ndarray], target: int) -> Dict[str, jnp.ndarra
     return out
 
 
+def apply_vo_model(model, variables, obs, actions, **kw):
+    """Dispatch to the model's signature: act-embed variants additionally
+    take the action ids (vo_cnn_act_embed.py:65-75)."""
+    from pointnav_vo_tpu.models.vo_cnn import VOCNNActEmbed
+
+    if isinstance(model, VOCNNActEmbed):
+        return model.apply(variables, obs, actions, **kw)
+    return model.apply(variables, obs, **kw)
+
+
 def _forward_all_experts(model, stacked_vars, obs, actions, expert_actions,
                          rng, train, valid):
     """Run every expert on the full batch, gather each sample's own row.
@@ -133,20 +156,24 @@ def _forward_all_experts(model, stacked_vars, obs, actions, expert_actions,
     Returns (preds [B, 3], new_batch_stats stacked like stacked_vars).
     """
     acts_arr = jnp.asarray(expert_actions, jnp.int32)
-    expert_idx = jnp.argmax(
-        (actions[:, None] == acts_arr[None, :]).astype(jnp.int32), axis=1
-    )
-    masks = (actions[:, None] == acts_arr[None, :]).astype(jnp.float32).T  # [A, B]
+    match = actions[:, None] == acts_arr[None, :]
+    expert_idx = jnp.argmax(match.astype(jnp.int32), axis=1)
+    # A unified expert (key -1, act-embed training) owns EVERY sample: its
+    # whitening stats must see the whole batch, not `actions == -1` (which
+    # never matches a real action id and would starve RunningMeanAndVar
+    # forever).  The loss grouping below already special-cases -1.
+    owns_all = acts_arr[:, None] == -1  # [A, 1]
+    masks = jnp.where(owns_all, 1.0, match.astype(jnp.float32).T)  # [A, B]
 
     def apply_one(variables, mask, key):
         if train:
-            out, mut = model.apply(
-                variables, obs, train=True, update_stats=True,
+            out, mut = apply_vo_model(
+                model, variables, obs, actions, train=True, update_stats=True,
                 stats_mask=mask * valid, rngs={"dropout": key},
                 mutable=["batch_stats"],
             )
             return out, mut["batch_stats"]
-        out = model.apply(variables, obs, train=False)
+        out = apply_vo_model(model, variables, obs, actions, train=False)
         return out, variables["batch_stats"]
 
     keys = jax.random.split(rng, len(expert_actions))
@@ -211,7 +238,24 @@ def make_train_step(model, icfg: VOInferenceConfig, tcfg: VOTrainConfig, tx,
             if tcfg.joint:
                 pair_pred = preds.reshape(-1, 2, 3)
                 pair_act = actions.reshape(-1, 2)[:, 0]
-                pair_valid = valid.reshape(-1, 2)[:, 0] * valid.reshape(-1, 2)[:, 1]
+                # Guard the twin pairing: the inverse loss is only meaningful
+                # on adjacent (primary, swapped) rows.  The reference asserts
+                # data_types[0::2]==CUR_REL_TO_PREV / [1::2]==PREV_REL_TO_CUR
+                # (engine:367-374); here a malformed pair is masked out of the
+                # loss (and counted) instead of silently pairing unrelated
+                # samples.
+                dt = batch["data_types"].reshape(-1, 2)
+                pair_ok = (
+                    (dt[:, 0] == CUR_REL_TO_PREV) & (dt[:, 1] == PREV_REL_TO_CUR)
+                ).astype(jnp.float32)
+                pair_valid = (
+                    valid.reshape(-1, 2)[:, 0]
+                    * valid.reshape(-1, 2)[:, 1]
+                    * pair_ok
+                )
+                metrics["geo/malformed_pairs"] = jnp.sum(
+                    (1.0 - pair_ok) * valid.reshape(-1, 2)[:, 0]
+                )
                 geo_loss, abs_rot, abs_pos = losses_lib.geo_invariance_inverse_loss(
                     pair_pred[:, 0], pair_pred[:, 1], pair_act, pair_valid
                 )
@@ -302,10 +346,16 @@ class VORegressionEngine:
             }
             dummy = {k: v for k, v in dummy.items() if k.split("_")[0] != "discretized"
                      or "discretized_depth" in icfg.observation_space}
+            from pointnav_vo_tpu.models.vo_cnn import VOCNNActEmbed
+
+            init_args = (
+                (dummy, jnp.zeros((1,), jnp.int32))
+                if isinstance(self.model, VOCNNActEmbed) else (dummy,)
+            )
             per = []
             for i in range(n_experts):
                 self.rng, k = jax.random.split(self.rng)
-                per.append(self.model.init(k, dummy, train=False))
+                per.append(self.model.init(k, *init_args, train=False))
         for v in per:
             v.setdefault("batch_stats", {})
         self.variables = jax.tree.map(lambda *xs: jnp.stack(xs), *per)
@@ -418,6 +468,12 @@ class VORegressionEngine:
             for i, name in enumerate(("dx", "dz", "dyaw")):
                 out[f"act{act}/abs_diff_{name}"] = v[i] / max(per_action_count[act], 1)
         out["eval_samples"] = count
+        # exact-count tripwire (reference engine:1131-1142): on a 460 GB
+        # input a silently-short epoch is a data bug, not a rounding detail
+        expected = self.eval_reader.num_samples()
+        assert count == expected, (
+            f"VO eval consumed {int(count)} samples but the dataset yields "
+            f"{expected} — reader/loader mismatch")
         if save_pred_path:
             with open(save_pred_path, "wb") as f:
                 pickle.dump({k: np.concatenate(v) if v else np.zeros(0) for k, v in dump.items()}, f)

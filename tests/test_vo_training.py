@@ -182,6 +182,95 @@ def test_forward_engine_trains_and_evals(dataset_path, tmp_path):
     )
 
 
+def test_reader_num_samples_matches_iteration(dataset_path):
+    """num_samples() (the eval exact-count expectation) must equal what one
+    epoch actually yields, in every filtering/augmentation mode."""
+    for kwargs in (
+        dict(),
+        dict(act_type=MOVE_FORWARD),
+        dict(act_type=TURN_LEFT,
+             geo_invariance_types=("inverse_data_augment_only",)),
+        dict(act_type=(TURN_LEFT, TURN_RIGHT),
+             geo_invariance_types=("inverse_joint_train",)),
+        dict(partial_data_n_splits=3),
+    ):
+        reader = FramePairReader(dataset_path, W, H, **kwargs)
+        n = sum(b.actions.shape[0] for b in reader.iter_batches(13, rng=None))
+        assert n == reader.num_samples(), kwargs
+
+
+def test_unified_act_embed_training(dataset_path):
+    """action_type=-1 unified (act-embed) TRAINING: the single expert's
+    whitening stats must accumulate the whole batch (regression for the
+    `actions == -1` zero-mass stats mask) and the loss must decrease."""
+    icfg = VOInferenceConfig(model_name="vo_cnn_act_embed",
+                             observation_space=("rgb", "depth"),
+                             vis_size_w=W, vis_size_h=H)
+    tcfg = VOTrainConfig(batch_size=16, epochs=2, action_type=-1, lr=2e-4,
+                         log_interval=1)
+    reader = FramePairReader(dataset_path, W, H, act_type=-1)
+    model = icfg.make_model()
+    dummy = {"rgb": jnp.zeros((1, H, W, 6)), "depth": jnp.zeros((1, H, W, 2))}
+    per = [fast_init(model, dummy, jnp.zeros((1,), jnp.int32), train=False)]
+    per[0]["batch_stats"] = jax.tree.map(jnp.zeros_like, per[0]["batch_stats"])
+    engine = VORegressionEngine(icfg, tcfg, reader, reader,
+                                init_variables_per_expert=per)
+    losses = [engine.train_epoch()["mean_total_loss"] for _ in range(2)]
+    count = float(
+        engine.variables["batch_stats"]["visual_encoder"]["rmv"]["count"][0]
+    )
+    # 96 samples, batch 16, drop_last -> 6 batches/epoch * 16 * 2 epochs
+    assert count == 192.0, f"whitening stats starved: count={count}"
+    assert losses[1] < losses[0], f"no improvement: {losses}"
+    ev = engine.evaluate()
+    assert ev["eval_samples"] == reader.num_samples()
+
+
+def test_joint_config_guards():
+    """inverse_joint_train requires turn experts and an even batch size."""
+    with pytest.raises(AssertionError):
+        VOTrainConfig(batch_size=15, action_type=(TURN_LEFT, TURN_RIGHT),
+                      geo_invariance_types=("inverse_joint_train",))
+    with pytest.raises(AssertionError):
+        VOTrainConfig(batch_size=16, action_type=-1,
+                      geo_invariance_types=("inverse_joint_train",))
+
+
+def test_joint_pair_guard_masks_malformed():
+    """A batch whose rows do NOT alternate (primary, swapped) must not feed
+    the inverse loss with unrelated pairs: malformed pairs are masked + counted."""
+    icfg = _small_icfg()
+    tcfg = VOTrainConfig(
+        batch_size=8, epochs=1, action_type=(TURN_LEFT, TURN_RIGHT),
+        geo_invariance_types=("inverse_joint_train",), log_interval=1,
+    )
+    engine = _fast_engine(icfg, tcfg, None)
+    rng = np.random.default_rng(0)
+    base = {
+        "prev_rgb": jnp.asarray(rng.uniform(0, 255, (8, H, W, 3)), jnp.float32),
+        "cur_rgb": jnp.asarray(rng.uniform(0, 255, (8, H, W, 3)), jnp.float32),
+        "prev_depth": jnp.asarray(rng.uniform(0, 1, (8, H, W, 1)), jnp.float32),
+        "cur_depth": jnp.asarray(rng.uniform(0, 1, (8, H, W, 1)), jnp.float32),
+        "actions": jnp.asarray(np.tile([TURN_LEFT, TURN_RIGHT], 4), jnp.int32),
+        "gt_delta": jnp.asarray(rng.normal(0, 0.1, (8, 3)), jnp.float32),
+        "dz_mask": jnp.ones((8,), jnp.float32),
+        "valid": jnp.ones((8,), jnp.float32),
+    }
+    good = dict(base, data_types=jnp.asarray(np.tile([0, 1], 4), jnp.int32))
+    bad = dict(base, data_types=jnp.zeros((8,), jnp.int32))
+    rng_key = jax.random.PRNGKey(0)
+    _, _, m_good = engine._train_step(
+        jax.tree.map(jnp.copy, engine.variables),
+        jax.tree.map(jnp.copy, engine.opt_state), good, rng_key)
+    _, _, m_bad = engine._train_step(
+        jax.tree.map(jnp.copy, engine.variables),
+        jax.tree.map(jnp.copy, engine.opt_state), bad, rng_key)
+    assert float(m_good["geo/malformed_pairs"]) == 0.0
+    assert float(m_bad["geo/malformed_pairs"]) == 4.0
+    # the masked inverse loss contributes nothing on the malformed batch
+    assert float(m_bad["geo/abs_diff_rot"]) == 0.0
+
+
 def test_joint_turn_engine_with_geo_loss(dataset_path):
     """Stage-2 style: left/right experts jointly trained with the inverse
     loss; the GT debug invariance stays ~0 (engine:510-535)."""
