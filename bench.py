@@ -49,7 +49,10 @@ def main() -> None:
     cur_rgb = jnp.asarray(rng.uniform(0, 255, (BATCH, h, w, 3)), jnp.float32)
     prev_depth = jnp.asarray(rng.uniform(0, 1, (BATCH, h, w, 1)), jnp.float32)
     cur_depth = jnp.asarray(rng.uniform(0, 1, (BATCH, h, w, 1)), jnp.float32)
-    actions = jnp.asarray(rng.integers(1, 4, BATCH), jnp.int32)
+    # host actions, as on the eval path (they were just synced to step the
+    # envs) -> det inference uses the bucketed fast path: each sample visits
+    # only its own expert instead of all three
+    actions = rng.integers(1, 4, BATCH).astype(np.int32)
 
     # cheap structural init (bench measures compute, not init quality)
     dummy = {

@@ -83,6 +83,15 @@ def get_rl_config(paths: Optional[List[str]] = None, opts: Optional[list] = None
         "BASE_TASK_CONFIG_PATH": "",
         "ENGINE_NAME": "efficient_ddppo",
         "ENV_NAME": "NavRLEnv",
+        # raw trailing KEY VALUE CLI overrides; stored into checkpoints so
+        # eval can replay them (reference _setup_eval_config priority
+        # eval_opts > ckpt_opts > eval_cfg > ckpt_cfg, base_trainer.py:319-356)
+        "CMD_TRAILING_OPTS": [],
+        # env fan-out backend: "sync" (in-process serial loop), "shm"
+        # (process workers over the native shm rings — NUM_PROCESSES buys
+        # real process parallelism), "habitat" (shm workers each hosting a
+        # habitat-sim instance; requires habitat-lab installed)
+        "ENV_BACKEND": "sync",
         "SENSORS": ["DEPTH_SENSOR", "RGB_SENSOR"],
         "NUM_UPDATES": 10000,
         "NUM_PROCESSES": 2,
@@ -176,6 +185,7 @@ def get_rl_config(paths: Optional[List[str]] = None, opts: Optional[list] = None
         c.TASK_CONFIG = get_task_config(c.BASE_TASK_CONFIG_PATH)
     if opts:
         c.merge_from_list(opts)
+        c.CMD_TRAILING_OPTS = [str(o) for o in opts]
     return c
 
 
@@ -183,6 +193,7 @@ def get_vo_config(paths: Optional[List[str]] = None, opts: Optional[list] = None
     c = Config({
         "BASE_TASK_CONFIG_PATH": "",
         "ENGINE_NAME": "vo_cnn_regression_geo_invariance_engine",
+        "CMD_TRAILING_OPTS": [],
         "SEED": 1,
         **_log_nodes(),
         "RESUME_TRAIN": False,
@@ -244,4 +255,5 @@ def get_vo_config(paths: Optional[List[str]] = None, opts: Optional[list] = None
         c.TASK_CONFIG = get_task_config(c.BASE_TASK_CONFIG_PATH)
     if opts:
         c.merge_from_list(opts)
+        c.CMD_TRAILING_OPTS = [str(o) for o in opts]
     return c

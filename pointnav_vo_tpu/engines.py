@@ -32,7 +32,11 @@ from pointnav_vo_tpu.common import ACT_NAME2IDX
 from pointnav_vo_tpu.io.checkpoint import load_checkpoint, save_checkpoint
 from pointnav_vo_tpu.io.torch_import import load_vo_checkpoint
 from pointnav_vo_tpu.models.policy import PointNavActorCritic, PointNavBaselineActorCritic
-from pointnav_vo_tpu.rl.envs import EnvConfig, make_scripted_vector_env
+from pointnav_vo_tpu.rl.envs import (
+    env_config_from_task,
+    make_habitat_vector_env,
+    make_scripted_vector_env,
+)
 from pointnav_vo_tpu.rl.eval import Evaluator
 from pointnav_vo_tpu.rl.ppo import PPOConfig
 from pointnav_vo_tpu.rl.trainer import DDPPOTrainer
@@ -79,28 +83,20 @@ def make_baseline_policy(config: Config):
 
 @registry.register_env(name="NavRLEnv")
 def make_nav_rl_env(config: Config, num_envs: int, seed: int = 0, noisy: bool = True):
-    """Scripted PointNav vector env configured from the task tree."""
-    task = config.TASK_CONFIG
-    sim = task.SIMULATOR
-    env_cfg = EnvConfig(
-        image_h=sim.DEPTH_SENSOR.HEIGHT,
-        image_w=sim.DEPTH_SENSOR.WIDTH,
-        hfov_deg=sim.DEPTH_SENSOR.HFOV,
-        min_depth=sim.DEPTH_SENSOR.MIN_DEPTH,
-        max_depth=sim.DEPTH_SENSOR.MAX_DEPTH,
-        forward_step=sim.get("FORWARD_STEP_SIZE", 0.25),
-        turn_angle_deg=sim.TURN_ANGLE,
-        max_episode_steps=task.ENVIRONMENT.MAX_EPISODE_STEPS,
-        success_distance=task.TASK.SUCCESS_DISTANCE,
-        slack_reward=config.RL.SLACK_REWARD,
-        success_reward=config.RL.SUCCESS_REWARD,
-        actuation_noise_multiplier=(sim.NOISE_MODEL.NOISE_MULTIPLIER if noisy else 0.0),
-        rgb_noise_intensity=(
-            sim.RGB_SENSOR.NOISE_MODEL_KWARGS.intensity_constant if noisy else 0.0
-        ),
-        depth_noise_multiplier=1.0 if noisy else 0.0,
-        seed=seed,
-    )
+    """PointNav vector env configured from the task tree.  ``ENV_BACKEND``
+    selects the fan-out (construct_envs analogue, env_utils.py:38-98):
+    "sync" loops scripted envs in-process, "shm" forks scripted process
+    workers over the native rings, "habitat" forks habitat-sim workers."""
+    backend = config.get("ENV_BACKEND", "sync")
+    if backend == "habitat":
+        return make_habitat_vector_env(config, num_envs, seed=seed, noisy=noisy)
+    env_cfg = env_config_from_task(config, noisy=noisy, seed=seed)
+    if backend == "shm":
+        from pointnav_vo_tpu.native.shm_env import ShmVectorEnv
+
+        return ShmVectorEnv(env_cfg, num_envs, seed=seed)
+    if backend != "sync":
+        raise ValueError(f"unknown ENV_BACKEND {backend!r} (sync | shm | habitat)")
     return make_scripted_vector_env(env_cfg, num_envs, seed=seed)
 
 
@@ -241,6 +237,35 @@ class VOGeoInvarianceEngine:
                 for k, v in stats.items():
                     if np.isscalar(v) or (hasattr(v, "ndim") and v.ndim == 0):
                         tb.add_scalar(f"train/{k}", float(v), epoch)
+                if self.tcfg.log_grad and tb.writer is not None:
+                    # per-parameter gradient histograms (reference _log_grad,
+                    # vo_cnn_engine.py:230-262), one backward pass per epoch
+                    import jax as _jax
+
+                    for path, leaf in _jax.tree_util.tree_flatten_with_path(
+                            self.engine.grad_snapshot())[0]:
+                        name = "/".join(str(getattr(p, "key", p)) for p in path)
+                        tb.add_histogram(f"grad/{name}", np.asarray(leaf), epoch)
+                if tb.writer is not None and cfg.VO.TRAIN.get("log_imgs", True):
+                    # first-sample preprocessed channels (engine:1364-1423)
+                    obs0 = self.engine.obs_snapshot()
+                    if "rgb" in obs0:
+                        tb.add_image("prev_obs/rgb", obs0["rgb"][..., :3] / 255.0,
+                                     epoch, dataformats="HWC")
+                        tb.add_image("cur_obs/rgb", obs0["rgb"][..., 3:] / 255.0,
+                                     epoch, dataformats="HWC")
+                    if "depth" in obs0:
+                        tb.add_image("prev_obs/depth", obs0["depth"][..., 0],
+                                     epoch, dataformats="HW")
+                        tb.add_image("cur_obs/depth", obs0["depth"][..., 1],
+                                     epoch, dataformats="HW")
+                    if "top_down_view" in obs0:
+                        tb.add_image("prev_obs/top_down_view",
+                                     obs0["top_down_view"][..., 0], epoch,
+                                     dataformats="HW")
+                        tb.add_image("cur_obs/top_down_view",
+                                     obs0["top_down_view"][..., 1], epoch,
+                                     dataformats="HW")
                 append_jsonl({"epoch": epoch, **{k: v for k, v in stats.items()
                                                  if np.isscalar(v)}},
                              os.path.join(cfg.INFO_DIR, "train_infos.jsonl"))
@@ -425,22 +450,28 @@ class _BaseRLEngine:
         return self._eval_checkpoint(ckpt_path, num_episodes)
 
     def _merged_eval_config(self, ckpt_path: Optional[str]) -> Config:
-        """Merge priority eval_cfg(EVAL node) > ckpt_cfg (base_trainer.py:319-356):
-        the checkpoint's training config defines the model/task; the live
-        config's EVAL node and process count win."""
+        """Reference _setup_eval_config merge priority
+        ``eval_opts > ckpt_opts > eval_cfg > ckpt_cfg``
+        (base_trainer.py:319-356): start from the checkpoint's stored config,
+        overlay the live eval config, then replay the checkpoint's stored CLI
+        trailing opts, then the live run's trailing opts; finally never eval
+        on the train split."""
         cfg = self.config
         if not (ckpt_path and os.path.isfile(ckpt_path) and not ckpt_path.endswith(".pth")):
             return cfg
         _, meta = load_checkpoint(ckpt_path)
         if "full_config" not in meta:
             return cfg
-        merged = Config(meta["full_config"])
-        merged.merge_from_dict({"EVAL": cfg.EVAL.to_dict(),
-                                "NUM_PROCESSES": cfg.NUM_PROCESSES})
-        for key in ("LOG_DIR", "LOG_FILE", "INFO_DIR", "CHECKPOINT_FOLDER",
-                    "TENSORBOARD_DIR", "VIDEO_DIR"):
-            if key in cfg:
-                merged[key] = cfg[key]
+        merged = Config(meta["full_config"])                    # ckpt_cfg
+        ckpt_opts = list(merged.get("CMD_TRAILING_OPTS", []) or [])
+        merged.merge_from_dict(cfg.to_dict())                   # eval_cfg
+        try:
+            merged.merge_from_list(ckpt_opts)                   # ckpt_opts
+        except (KeyError, ValueError):
+            pass  # stored opts reference outdated keys: skip, like the ref
+        merged.merge_from_list(list(cfg.get("CMD_TRAILING_OPTS", []) or []))
+        if merged.TASK_CONFIG.DATASET.SPLIT == "train":
+            merged.TASK_CONFIG.DATASET.SPLIT = "val"
         return merged
 
     def _eval_checkpoint(self, ckpt_path: Optional[str], num_episodes: Optional[int] = None):
@@ -471,6 +502,7 @@ class _BaseRLEngine:
         evaluator = Evaluator(
             model=self.model, variables=variables, envs=envs, vo_ensemble=vo,
             deterministic=True, rng=jax.random.PRNGKey(cfg.SEED),
+            mesh=self.mesh,
         )
         n = num_episodes or (cfg.EVAL.TEST_EPISODE_COUNT
                              if cfg.EVAL.TEST_EPISODE_COUNT > 0 else 100)

@@ -8,20 +8,26 @@ trainer pops all N payloads into preallocated batch arrays — one memcpy per
 env per step, no pickling.  Exposes the same interface as
 ``rl/envs.VectorEnv`` so trainers/evaluators are backend-agnostic.
 
-Worker entry is a module-level function, so real habitat workers can be
-dropped in behind the same transport (swap `_make_env`).
+Worker envs are pluggable: pass ``env_factory`` as a ``"module:callable"``
+spec (resolved *inside* the worker process, so heavyweight simulators like
+habitat-sim are imported only in their own process — the reference does the
+same by constructing habitat.Env inside each VectorEnv worker,
+env_utils.py:96-98).  The factory signature is ``f(cfg, seed, **kwargs)`` and
+must return an object with the scripted-env duck type: ``reset() -> obs``,
+``step(a) -> (obs, reward, done, info)`` with rgb/depth/pointgoal obs.
 """
 
 from __future__ import annotations
 
+import importlib
 import multiprocessing as mp
 import os
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
 from pointnav_vo_tpu.native import ShmRing
-from pointnav_vo_tpu.rl.envs import EnvConfig, ScriptedPointNavEnv
+from pointnav_vo_tpu.rl.envs import EnvConfig
 
 _N_META = 16  # pointgoal 2 + reward, done, success, spl, softspl, dist,
 # collisions + gt_delta 3 + agent_pos_episodic 3 + agent_yaw
@@ -49,10 +55,23 @@ def _encode(buf: np.ndarray, cfg: EnvConfig, obs, reward, done, info) -> None:
     m[15] = info.get("agent_yaw", 0.0)
 
 
-def _worker_main(prefix: str, idx: int, cfg: EnvConfig, seed: int) -> None:
+def resolve_env_factory(spec: str):
+    """Resolve a ``"module:callable"`` env-factory spec to the callable."""
+    mod_name, _, attr = spec.partition(":")
+    if not attr:
+        raise ValueError(f"env factory spec must be 'module:callable', got {spec!r}")
+    return getattr(importlib.import_module(mod_name), attr)
+
+
+DEFAULT_ENV_FACTORY = "pointnav_vo_tpu.rl.envs:ScriptedPointNavEnv"
+
+
+def _worker_main(prefix: str, idx: int, cfg: EnvConfig, seed: int,
+                 env_factory: str = DEFAULT_ENV_FACTORY,
+                 factory_kwargs: Optional[dict] = None) -> None:
     act_ring = ShmRing(f"{prefix}_a{idx}")
     obs_ring = ShmRing(f"{prefix}_o{idx}")
-    env = ScriptedPointNavEnv(cfg, seed=seed)
+    env = resolve_env_factory(env_factory)(cfg, seed=seed, **(factory_kwargs or {}))
     buf = np.zeros(_payload_floats(cfg), np.float32)
     act = np.zeros(1, np.float32)
 
@@ -78,7 +97,11 @@ def _worker_main(prefix: str, idx: int, cfg: EnvConfig, seed: int) -> None:
 class ShmVectorEnv:
     """Drop-in VectorEnv with process workers + shm transport."""
 
-    def __init__(self, cfg: EnvConfig, num_envs: int, seed: int = 0, slots: int = 4):
+    def __init__(self, cfg: EnvConfig, num_envs: int, seed: int = 0, slots: int = 4,
+                 env_factory: str = DEFAULT_ENV_FACTORY,
+                 factory_kwargs: Optional[dict] = None):
+        # fail fast in the parent on a bad spec (workers would die silently)
+        resolve_env_factory(env_factory)
         self.cfg = cfg
         self.num_envs = num_envs
         self._prefix = f"/pnvo_{os.getpid()}_{id(self) & 0xFFFF}"
@@ -94,15 +117,28 @@ class ShmVectorEnv:
             ShmRing(f"{self._prefix}_o{i}", slots, n_floats * 4, create=True)
             for i in range(num_envs)
         ]
+        if isinstance(factory_kwargs, (list, tuple)):
+            assert len(factory_kwargs) == num_envs, "one kwargs dict per worker"
+            per_kwargs = list(factory_kwargs)
+        else:
+            per_kwargs = [factory_kwargs] * num_envs
         ctx = mp.get_context("fork")
         self._procs = [
-            ctx.Process(target=_worker_main, args=(self._prefix, i, cfg, seed + i),
+            ctx.Process(target=_worker_main,
+                        args=(self._prefix, i, cfg, seed + i, env_factory,
+                              per_kwargs[i]),
                         daemon=True)
             for i in range(num_envs)
         ]
         for p in self._procs:
             p.start()
         self._first = True
+        # host-side episode counters (workers auto-reset; a done transition
+        # means the worker moved on to its next episode)
+        self._episode_ids = [0] * num_envs
+
+    def current_episodes(self) -> List[int]:
+        return list(self._episode_ids)
 
     def _decode(self) -> tuple:
         cfg = self.cfg
@@ -148,7 +184,11 @@ class ShmVectorEnv:
             ring.push(self._act)
         for i, ring in enumerate(self._obs_rings):
             ring.pop_into(self._payload[i])
-        return self._decode()
+        out = self._decode()
+        for i, done in enumerate(out[2]):
+            if done:
+                self._episode_ids[i] += 1
+        return out
 
     def close(self) -> None:
         for ring in self._act_rings:

@@ -186,6 +186,17 @@ class ScriptedPointNavEnv:
     def dist_to_goal(self) -> float:
         return float(np.linalg.norm(self.goal - self.pos))
 
+    def global_pose(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(position [x,y,z], rotation quaternion [x,y,z,w]) in the world
+        frame — the dataset generator's pose accessor (the habitat analogue
+        reads sim.get_agent_state, generate_datasets.py:441-450)."""
+        pos = np.asarray([self.pos[0], 0.0, self.pos[1]], np.float64)
+        half = self.yaw / 2.0
+        return pos, np.asarray([0.0, np.sin(half), 0.0, np.cos(half)], np.float64)
+
+    def goal_position(self) -> np.ndarray:
+        return np.asarray([self.goal[0], 0.0, self.goal[1]], np.float32)
+
     @property
     def episode_over(self) -> bool:
         return self.steps >= self.cfg.max_episode_steps or self.called_stop
@@ -311,10 +322,20 @@ class VectorEnv:
         return [(getattr(e, "_episode_id", 0)) for e in self.envs]
 
     def pause_at(self, idx: int) -> None:
-        """Remove env idx from stepping (reference _pause_envs,
-        base_trainer.py:383-425)."""
-        self.envs.pop(idx)
+        """Remove env idx from stepping, habitat.VectorEnv semantics
+        (reference _pause_envs, base_trainer.py:383-425): indices of later
+        envs shift down by one, and the paused env is retained so
+        ``resume_all`` can restore the original order.  The evaluator uses
+        quota masking instead; this exists for API parity."""
+        self._paused.append((idx, self.envs.pop(idx)))
         self.num_envs -= 1
+
+    def resume_all(self) -> None:
+        """Reinsert every paused env at its original position."""
+        for idx, env in reversed(self._paused):
+            self.envs.insert(idx, env)
+        self._paused = []
+        self.num_envs = len(self.envs)
 
 
 def _batch_obs(obs_list: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
@@ -347,18 +368,271 @@ def split_scenes(scenes: Sequence[str], n_workers: int) -> List[List[str]]:
     return out
 
 
-def make_habitat_vector_env(task_config, num_envs: int, seed: int = 0):
-    """Adapter to a real habitat installation (construct_envs,
-    env_utils.py:74-98). Import-gated: habitat-sim is an external CPU C++
-    dependency; on the TPU image use the scripted env or a remote env farm."""
+def env_config_from_task(config, noisy: bool = True, seed: int = 0) -> EnvConfig:
+    """Build the backend-agnostic EnvConfig from an experiment config tree
+    (the task keys the reference's construct_envs forwards into each worker,
+    env_utils.py:80-94)."""
+    task = config.TASK_CONFIG
+    sim = task.SIMULATOR
+    return EnvConfig(
+        image_h=sim.DEPTH_SENSOR.HEIGHT,
+        image_w=sim.DEPTH_SENSOR.WIDTH,
+        hfov_deg=sim.DEPTH_SENSOR.HFOV,
+        min_depth=sim.DEPTH_SENSOR.MIN_DEPTH,
+        max_depth=sim.DEPTH_SENSOR.MAX_DEPTH,
+        forward_step=sim.get("FORWARD_STEP_SIZE", 0.25),
+        turn_angle_deg=sim.TURN_ANGLE,
+        max_episode_steps=task.ENVIRONMENT.MAX_EPISODE_STEPS,
+        success_distance=task.TASK.SUCCESS_DISTANCE,
+        slack_reward=config.RL.SLACK_REWARD,
+        success_reward=config.RL.SUCCESS_REWARD,
+        actuation_noise_multiplier=(sim.NOISE_MODEL.NOISE_MULTIPLIER if noisy else 0.0),
+        rgb_noise_intensity=(
+            sim.RGB_SENSOR.NOISE_MODEL_KWARGS.intensity_constant if noisy else 0.0
+        ),
+        depth_noise_multiplier=1.0 if noisy else 0.0,
+        seed=seed,
+    )
+
+
+# -- quaternion helpers (host numpy; [x, y, z, w] layout) --------------------
+
+
+def _quat_inverse(q: np.ndarray) -> np.ndarray:
+    return np.asarray([-q[0], -q[1], -q[2], q[3]], np.float64)
+
+
+def _quat_multiply(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return np.asarray(
+        [
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+            aw * bw - ax * bx - ay * by - az * bz,
+        ],
+        np.float64,
+    )
+
+
+def _quat_rotate(q: np.ndarray, v: np.ndarray) -> np.ndarray:
+    vq = np.asarray([v[0], v[1], v[2], 0.0], np.float64)
+    return _quat_multiply(_quat_multiply(q, vq), _quat_inverse(q))[:3]
+
+
+def _as_xyzw(rotation) -> np.ndarray:
+    """Accept habitat's np.quaternion (w,x,y,z attrs) or an [x,y,z,w] array."""
+    if hasattr(rotation, "w"):
+        return np.asarray([rotation.x, rotation.y, rotation.z, rotation.w],
+                          np.float64)
+    return np.asarray(rotation, np.float64)
+
+
+def agent_state_delta(prev_pos, prev_rot, cur_pos, cur_rot) -> np.ndarray:
+    """Local [dx, dz, dyaw] of the current pose in the previous pose's frame —
+    the host-numpy form of reference modified_agent_state_target2ref
+    (utils/geometry_utils.py:33-55): dpos = R(prev)^-1 (cur - prev),
+    dyaw = 2 atan2(qy, qw) of the canonical delta quaternion."""
+    q_prev = _as_xyzw(prev_rot)
+    q_cur = _as_xyzw(cur_rot)
+    dpos = _quat_rotate(_quat_inverse(q_prev),
+                        np.asarray(cur_pos, np.float64) - np.asarray(prev_pos, np.float64))
+    dq = _quat_multiply(_quat_inverse(q_prev), q_cur)
+    if dq[3] < 0:  # canonical hemisphere: avoid the 2*pi ghost in dyaw
+        dq = -dq
+    dyaw = 2.0 * np.arctan2(dq[1], dq[3])
+    return np.asarray([dpos[0], dpos[2], dyaw], np.float32)
+
+
+class HabitatNavEnv:
+    """One habitat-backed PointNav env behind the scripted-env duck type.
+
+    Reference counterparts: NavRLEnv's reward shaping
+    (rl/common/environments.py:62-84) and the ModifiedTopDownMap pose
+    accounting (vis/modified_measurement.py:283-307) — here the GT local
+    delta and episodic pose are derived directly from simulator agent states
+    with :func:`agent_state_delta`, so the evaluator's VO-error / drift
+    diagnostics work identically over habitat and the scripted world.
+
+    The habitat API surface consumed (and covered by the fake-habitat
+    contract test): ``habitat.get_config``/``habitat.Env``/
+    ``habitat.make_dataset``, ``env.seed/reset/step/episode_over/
+    get_metrics/sim.get_agent_state``.
+    """
+
+    def __init__(self, cfg: EnvConfig, seed: int = 0, task_config: Optional[dict] = None,
+                 content_scenes: Optional[List[str]] = None,
+                 reward_measure: str = "distance_to_goal",
+                 success_measure: str = "success"):
+        import habitat
+
+        self.cfg = cfg
+        self._reward_measure = reward_measure
+        self._success_measure = success_measure
+        hab_cfg = habitat.get_config()
+        if hasattr(hab_cfg, "defrost"):
+            hab_cfg.defrost()
+        if task_config:
+            _overlay_config(hab_cfg, task_config)
+        hab_cfg.SEED = seed
+        if content_scenes is not None:
+            hab_cfg.DATASET.CONTENT_SCENES = list(content_scenes)
+        if hasattr(hab_cfg, "freeze"):
+            hab_cfg.freeze()
+        dataset = habitat.make_dataset(hab_cfg.DATASET.TYPE, config=hab_cfg.DATASET)
+        self._env = habitat.Env(config=hab_cfg, dataset=dataset)
+        self._env.seed(seed)
+        self._episode_id = -1
+
+    # -- pose bookkeeping ----------------------------------------------------
+
+    def _agent_state(self):
+        sim = getattr(self._env, "sim", None) or getattr(self._env, "_sim")
+        return sim.get_agent_state()
+
+    def global_pose(self) -> Tuple[np.ndarray, np.ndarray]:
+        s = self._agent_state()
+        return np.asarray(s.position, np.float64), _as_xyzw(s.rotation)
+
+    def goal_position(self) -> np.ndarray:
+        ep = self._env.current_episode
+        return np.asarray(ep.goals[0].position, np.float32)
+
+    @property
+    def dist_to_goal(self) -> float:
+        return float(self._env.get_metrics().get("distance_to_goal", np.inf))
+
+    def _convert_obs(self, obs) -> Dict[str, np.ndarray]:
+        out = {}
+        if "rgb" in obs:
+            out["rgb"] = np.asarray(obs["rgb"], np.float32)
+        if "depth" in obs:
+            out["depth"] = np.asarray(obs["depth"], np.float32)
+        out["pointgoal_with_gps_compass"] = np.asarray(
+            obs["pointgoal_with_gps_compass"], np.float32
+        )
+        return out
+
+    def reset(self) -> Dict[str, np.ndarray]:
+        self._episode_id += 1
+        obs = self._env.reset()
+        self._prev_measure = float(
+            self._env.get_metrics()[self._reward_measure]
+        )
+        s = self._agent_state()
+        self._prev_state = (np.asarray(s.position, np.float64), _as_xyzw(s.rotation))
+        self._start_state = self._prev_state
+        return self._convert_obs(obs)
+
+    def step(self, action: int):
+        obs = self._env.step(int(action))
+        metrics = self._env.get_metrics()
+        success = float(metrics[self._success_measure])
+
+        # NavRLEnv.get_reward (environments.py:62-73)
+        cur_measure = float(metrics[self._reward_measure])
+        reward = self.cfg.slack_reward + (self._prev_measure - cur_measure)
+        reward += self.cfg.success_reward * success
+        self._prev_measure = cur_measure
+        done = bool(self._env.episode_over or success > 0)
+
+        s = self._agent_state()
+        cur_state = (np.asarray(s.position, np.float64), _as_xyzw(s.rotation))
+        gt_delta = agent_state_delta(*self._prev_state, *cur_state)
+        # episodic pose: current position in the episode-start frame
+        dstart = _quat_rotate(
+            _quat_inverse(self._start_state[1]), cur_state[0] - self._start_state[0]
+        )
+        self._prev_state = cur_state
+
+        collisions = metrics.get("collisions") or {"count": 0}
+        info = {
+            "distance_to_goal": float(metrics.get("distance_to_goal", 0.0)),
+            "success": success,
+            "spl": float(metrics.get("spl", 0.0)),
+            "softspl": float(metrics.get("softspl", 0.0)),
+            "collisions": {"count": int(collisions["count"])},
+            "gt_delta": gt_delta,
+            "agent_pos": np.asarray(cur_state[0], np.float32),
+            "agent_pos_episodic": np.asarray(dstart, np.float32),
+            "agent_yaw": float(2.0 * np.arctan2(cur_state[1][1], cur_state[1][3])),
+            "episode_id": self._episode_id,
+        }
+        return self._convert_obs(obs), float(reward), done, info
+
+
+def _overlay_config(dst, src: dict) -> None:
+    """Recursively copy keys of ``src`` onto a (yacs-style) config node,
+    creating missing leaves where the node supports item assignment."""
+    for k, v in src.items():
+        if isinstance(v, dict) and hasattr(dst, k) and not isinstance(
+            getattr(dst, k), (int, float, str, bool, list, tuple, type(None))
+        ):
+            _overlay_config(getattr(dst, k), v)
+        else:
+            try:
+                setattr(dst, k, list(v) if isinstance(v, tuple) else v)
+            except Exception:
+                pass  # read-only / type-checked node: keep habitat's default
+
+
+def make_habitat_vector_env(config, num_envs: int, seed: int = 0,
+                            noisy: bool = True, backend: str = "shm"):
+    """Habitat-backed vector env behind the VectorEnv interface — the
+    reference's construct_envs (env_utils.py:38-98): scene discovery via
+    make_dataset, deterministic shuffle, round-robin scene split, per-worker
+    seed offset; fan-out over shm process workers (each worker imports
+    habitat-sim in its own process, like habitat.VectorEnv) or a serial
+    in-process loop (``backend="sync"``, useful for debugging)."""
     try:
-        import habitat  # noqa: F401
+        import habitat
     except ImportError as e:  # pragma: no cover
         raise ImportError(
-            "habitat-lab is not installed in this image. Use "
-            "make_scripted_vector_env for tests or run the habitat env farm "
-            "on CPU hosts feeding observations over the VectorEnv interface."
+            "habitat-lab is not installed in this image. Use the scripted "
+            "backend (ENV_BACKEND: sync|shm) or run the habitat env farm on "
+            "CPU hosts feeding observations over the VectorEnv interface."
         ) from e
-    raise NotImplementedError(
-        "habitat adapter: wire habitat.VectorEnv to the VectorEnv interface"
+
+    task = config.TASK_CONFIG
+    scenes = list(task.DATASET.get("CONTENT_SCENES", ["*"]))
+    if "*" in scenes:
+        dataset = habitat.make_dataset(task.DATASET.TYPE)
+        scenes = list(dataset.get_scenes_to_load(task.DATASET))
+    if num_envs > 1:
+        if len(scenes) == 0:
+            raise RuntimeError(
+                "No scenes to load; the multi-process split needs scenes"
+            )
+        # deterministic shuffle (the reference uses the global random module,
+        # env_utils.py:72 — seeded here so runs are reproducible)
+        import random as _random
+
+        _random.Random(seed).shuffle(scenes)
+    splits = split_scenes(scenes, num_envs) if scenes else [None] * num_envs
+
+    env_cfg = env_config_from_task(config, noisy=noisy, seed=seed)
+    task_dict = task.to_dict() if hasattr(task, "to_dict") else dict(task)
+    per_kwargs = [
+        {
+            "task_config": task_dict,
+            "content_scenes": splits[i],
+            "reward_measure": config.RL.get("REWARD_MEASURE", "distance_to_goal"),
+            "success_measure": config.RL.get("SUCCESS_MEASURE", "success"),
+        }
+        for i in range(num_envs)
+    ]
+    if backend == "shm":
+        from pointnav_vo_tpu.native.shm_env import ShmVectorEnv
+
+        return ShmVectorEnv(
+            env_cfg, num_envs, seed=seed,
+            env_factory="pointnav_vo_tpu.rl.envs:HabitatNavEnv",
+            factory_kwargs=per_kwargs,
+        )
+    return VectorEnv(
+        [
+            (lambda i=i: HabitatNavEnv(env_cfg, seed=seed + i, **per_kwargs[i]))
+            for i in range(num_envs)
+        ]
     )

@@ -67,22 +67,38 @@ def fused_vo_act_step(
     hidden,
     prev_actions,
     masks,
-    rng,
+    vo_rng,
+    act_rng,
     deterministic: bool = True,
+    bucket_idx=None,
 ):
-    """The SURVEY §7 "one jitted mega-step": VO preprocess + 3-expert forward
+    """The SURVEY §7 "one jitted mega-step": VO preprocess + expert forward
     + goal propagation + policy act fused into a single XLA program — one
     dispatch per env step instead of three (the reference runs this per env,
-    per piece, in Python: ppo_trainer.py:661-891)."""
-    from pointnav_vo_tpu.common import VO_EXPERT_ACTIONS
+    per piece, in Python: ppo_trainer.py:661-891).
+
+    Covers both inference modes (VERDICT r1 items 4 and 5):
+    - det with ``bucket_idx`` (host-built static expert buckets): each sample
+      runs only its own expert — ~1/3 of the all-experts FLOPs;
+    - rnd: the rnd_mode_n-dropout-pass uncertainty ensemble runs inside the
+      same program (``vo_rng`` consumed exactly like the two-dispatch path,
+      so results are bit-equal) and returns the real per-sample std.
+    """
     from pointnav_vo_tpu.models.policy import action_log_prob
-    from pointnav_vo_tpu.vo.ensemble import preprocess_obs_pairs
+    from pointnav_vo_tpu.vo.ensemble import (
+        _predict,
+        _predict_det_bucketed,
+        preprocess_obs_pairs,
+    )
 
     obs_pairs = preprocess_obs_pairs(prev_rgb, prev_depth, cur_rgb, cur_depth, vo_cfg)
-    preds = jax.vmap(lambda v: vo_model.apply(v, obs_pairs, train=False))(vo_variables)
-    expert_idx = jnp.clip(actions_taken.astype(jnp.int32) - 1, 0,
-                          len(VO_EXPERT_ACTIONS) - 1)
-    delta = jnp.take_along_axis(preds, expert_idx[None, :, None], axis=0)[0]
+    if vo_cfg.mode == "det" and bucket_idx is not None:
+        delta = _predict_det_bucketed(vo_model, vo_cfg, vo_variables, obs_pairs,
+                                      bucket_idx)
+        std = jnp.zeros_like(delta)
+    else:
+        delta, std = _predict(vo_model, vo_cfg, vo_variables, obs_pairs,
+                              actions_taken, vo_rng)
 
     goal_cart, polar = propagate_goal(goal_cart, delta, reset_mask, sensor_polar)
 
@@ -94,9 +110,10 @@ def fused_vo_act_step(
     logits, value, new_hidden = policy_model.apply(
         policy_variables, policy_obs, hidden, prev_actions, masks
     )
-    action = mode_action(logits) if deterministic else sample_action(rng, logits)
+    action = mode_action(logits) if deterministic else sample_action(act_rng, logits)
     logp = action_log_prob(logits, action)
-    return goal_cart, polar, delta, value, action.astype(jnp.int32), logp, new_hidden
+    return (goal_cart, polar, delta, std, value, action.astype(jnp.int32), logp,
+            new_hidden)
 
 
 @dataclasses.dataclass
@@ -125,6 +142,7 @@ class Evaluator:
         rng: Optional[jax.Array] = None,
         stuck_thresh: float = 0.01,
         fused: Optional[bool] = None,
+        mesh=None,
     ):
         self.model = model
         self.variables = variables
@@ -135,6 +153,28 @@ class Evaluator:
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.stuck_thresh = stuck_thresh
         self.force_fused = fused
+        # multi-chip eval (SURVEY §7 / BASELINE v5e-8 target): envs shard
+        # over the mesh's data axis, params replicate; XLA propagates the
+        # shardings through the whole fused step — no collectives needed
+        # (per-env work is independent; metrics aggregate on the host)
+        self.mesh = mesh
+        self._obs_sharding = None
+        if mesh is not None:
+            from pointnav_vo_tpu.parallel import mesh as pm
+
+            assert envs.num_envs % mesh.devices.size == 0, (
+                f"num_envs {envs.num_envs} must divide over {mesh.devices.size} devices"
+            )
+            self.variables = pm.replicate(self.variables, mesh)
+            if self.vo is not None:
+                self.vo.variables = pm.replicate(self.vo.variables, mesh)
+            self._obs_sharding = pm.batch_sharding(mesh)
+
+    def _to_device(self, obs: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        if self._obs_sharding is None:
+            return {k: jnp.asarray(v) for k, v in obs.items()}
+        return {k: jax.device_put(np.asarray(v), self._obs_sharding)
+                for k, v in obs.items()}
 
     def _vo_delta(self, prev_obs, new_obs, actions, infos):
         if self.vo_fn is not None:
@@ -174,7 +214,7 @@ class Evaluator:
         est_rot = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (n, 1))
         est_pos = jnp.zeros((n, 3))
 
-        obs_dev = {k: jnp.asarray(v) for k, v in obs.items()}
+        obs_dev = self._to_device(obs)
         episode_rewards = np.zeros(n)
         results: List[EpisodeResult] = []
         vo_l2: List[np.ndarray] = []
@@ -184,11 +224,9 @@ class Evaluator:
         timing = {"act": 0.0, "env": 0.0, "vo": 0.0}
         steps = 0
 
-        # fused mega-step path: VO + goal update + NEXT policy act in one
-        # jitted dispatch (det mode; rnd's dropout ensemble stays on the
-        # two-dispatch path)
-        fused = (self.vo is not None and self.vo_fn is None
-                 and self.vo.cfg.mode == "det")
+        # fused mega-step path: VO (det bucketed or rnd dropout ensemble) +
+        # goal update + NEXT policy act in one jitted dispatch
+        fused = self.vo is not None and self.vo_fn is None
         if self.force_fused is not None:
             fused = self.force_fused and self.vo is not None and self.vo_fn is None
         if fused:
@@ -215,25 +253,38 @@ class Evaluator:
             steps += n
             episode_rewards += rewards
 
-            new_obs_dev = {k: jnp.asarray(v) for k, v in new_obs.items()}
+            new_obs_dev = self._to_device(new_obs)
             if use_vo:
                 t0 = time.perf_counter()
                 reset = jnp.asarray(dones.astype(np.float32))[:, None]
                 sensor = new_obs_dev["pointgoal_with_gps_compass"]
                 if fused:
-                    self.rng, sub = jax.random.split(self.rng)
+                    # rng split order mirrors the two-dispatch loop: the kth
+                    # chronological split is the same there and here (vo for
+                    # THIS step precedes act for the NEXT step), so rnd mode
+                    # is bit-equal to the unfused path
+                    self.rng, vo_sub = jax.random.split(self.rng)
+                    self.rng, act_sub = jax.random.split(self.rng)
                     next_masks = 1.0 - reset
-                    (goal_cart, polar, delta, _value, next_action, _lp,
+                    buckets = None
+                    if self.vo.cfg.mode == "det" and self.mesh is None:
+                        # bucket indices address the global batch; under a
+                        # mesh they would force cross-chip gathers — sharded
+                        # eval keeps the cleanly-partitioned all-experts path
+                        from pointnav_vo_tpu.vo.ensemble import bucket_expert_indices
+
+                        buckets = bucket_expert_indices(actions_np, n)
+                    (goal_cart, polar, delta, std, _value, next_action, _lp,
                      hidden) = fused_vo_act_step(
                         self.model, self.vo.model, self.vo.cfg,
                         self.variables, self.vo.variables,
                         obs_dev["rgb"], obs_dev["depth"],
                         new_obs_dev["rgb"], new_obs_dev["depth"],
                         action[:, 0], goal_cart, reset, sensor,
-                        hidden, action, next_masks, sub,
+                        hidden, action, next_masks, vo_sub, act_sub,
                         deterministic=self.deterministic,
+                        bucket_idx=buckets,
                     )
-                    std = jnp.zeros_like(delta)
                 else:
                     delta, std = self._vo_delta(obs_dev, new_obs, action, infos)
                     goal_cart, polar = propagate_goal(goal_cart, delta, reset, sensor)

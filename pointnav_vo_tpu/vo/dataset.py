@@ -350,30 +350,61 @@ def _yaw_to_quat(yaw: float) -> np.ndarray:
     return np.asarray([0.0, np.sin(yaw / 2), 0.0, np.cos(yaw / 2)], np.float64)
 
 
-def generate_scripted_dataset(
+def oracle_goal_follower(turn_angle_deg: float, success_distance: float):
+    """Default follower: turn toward the goal until roughly facing it, else
+    move forward; STOP within success distance — the ShortestPathFollower
+    analogue for obstacle-free worlds (generate_datasets.py:397-412 uses
+    habitat's geodesic follower).  Signature: f(env, obs) -> action."""
+    turn_rad = np.radians(turn_angle_deg)
+
+    def follower(env, obs) -> int:
+        bearing = -obs["pointgoal_with_gps_compass"][1]
+        if env.dist_to_goal < success_distance:
+            return 0
+        if abs(bearing) > turn_rad / 2:
+            return TURN_LEFT if bearing < 0 else TURN_RIGHT
+        return MOVE_FORWARD
+
+    return follower
+
+
+def generate_dataset(
     path: str,
     n_entries: int,
+    env_factory=None,
+    follower_factory=None,
     env_cfg=None,
     rnd_p: float = 1.0,
     seed: int = 0,
 ) -> int:
-    """Roll an oracle through the scripted env, save reference-schema HDF5.
+    """Roll a follower policy through an env, save reference-schema HDF5
+    (generate_datasets.py:32-687).
 
-    Oracle: turn toward the goal until roughly facing it, else move forward —
-    the ShortestPathFollower analogue for the obstacle-free scripted world
-    (generate_datasets.py:397-412 uses habitat's follower).
+    Pluggable like the reference's habitat pipeline:
+    - ``env_factory(env_cfg, seed) -> env`` exposing the scripted duck type
+      (reset/step) plus pose accessors ``global_pose()``/``goal_position()``
+      and ``dist_to_goal`` — ScriptedPointNavEnv (default) and the habitat
+      adapter HabitatNavEnv (rl/envs.py) both qualify;
+    - ``follower_factory(env) -> f(env, obs) -> action`` with 0 meaning
+      "episode done, reset" — default :func:`oracle_goal_follower`; a habitat
+      ShortestPathFollower wraps in directly.
+
     Returns the number of entries written.
     """
     from pointnav_vo_tpu.rl.envs import EnvConfig, ScriptedPointNavEnv
 
     env_cfg = env_cfg or EnvConfig()
     rng = np.random.default_rng(seed)
-    env = ScriptedPointNavEnv(env_cfg, seed=seed)
+    env = (env_factory or ScriptedPointNavEnv)(env_cfg, seed=seed)
+    if follower_factory is not None:
+        follower = follower_factory(env)
+    else:
+        follower = oracle_goal_follower(env_cfg.turn_angle_deg,
+                                        env_cfg.success_distance)
 
     buf: List[Dict] = []
     written = 0
     chunk_cnt = 0
-    turn_rad = np.radians(env_cfg.turn_angle_deg)
 
     with h5py.File(path, "w") as f:
 
@@ -388,44 +419,34 @@ def generate_scripted_dataset(
             chunk_cnt += 1
             buf = []
 
-        prev = None  # (obs, pos, yaw)
         obs = env.reset()
         new_episode = True
         while written < n_entries:
-            bearing = -obs["pointgoal_with_gps_compass"][1]
-            if env.dist_to_goal < env_cfg.success_distance:
-                action = 0
-            elif abs(bearing) > turn_rad / 2:
-                action = TURN_LEFT if bearing < 0 else TURN_RIGHT
-            else:
-                action = MOVE_FORWARD
+            action = int(follower(env, obs))
             if action == 0:
                 obs = env.reset()
-                prev = None
                 new_episode = True
                 continue
 
-            state_before = (obs, env.pos.copy(), env.yaw)
+            prev_gpos, prev_grot = env.global_pose()
+            p_obs = obs
             nobs, _r, done, info = env.step(action)
+            cur_gpos, cur_grot = env.global_pose()
             keep = rng.uniform() < rnd_p
             if keep:
-                p_obs, p_pos, p_yaw = state_before
-                prev_gpos = np.asarray([p_pos[0], 0.0, p_pos[1]])
-                cur_gpos = np.asarray([env.pos[0], 0.0, env.pos[1]])
-                prev_grot = _yaw_to_quat(p_yaw)
-                cur_grot = _yaw_to_quat(env.yaw)
                 # delta of cur relative to prev (dataset target convention)
                 inv = _q_inv(prev_grot)
                 d_rot = _q_canonical(_q_mul(inv, cur_grot))
                 d_pos = _q_rot(inv, cur_gpos - prev_gpos)
+                prev_yaw = 2.0 * np.arctan2(prev_grot[1], prev_grot[3])
+                cur_yaw = 2.0 * np.arctan2(cur_grot[1], cur_grot[3])
                 buf.append({
                     "new_episodes": np.uint8(new_episode),
                     "actions": np.uint8(action),
                     "collisions": np.uint8(info["collisions"]["count"] > 0),
                     "episode_start_positions": np.zeros(3, np.float32),
                     "episode_start_rotations": np.zeros(4, np.float32),
-                    "episode_goal_positions": np.asarray(
-                        [env.goal[0], 0.0, env.goal[1]], np.float32),
+                    "episode_goal_positions": env.goal_position(),
                     "prev_rgbs": p_obs["rgb"].astype(np.uint8).reshape(-1),
                     "cur_rgbs": nobs["rgb"].astype(np.uint8).reshape(-1),
                     "prev_depths": p_obs["depth"].astype(np.float16).reshape(-1),
@@ -434,8 +455,8 @@ def generate_scripted_dataset(
                     "cur_point_goal_vecs": nobs["pointgoal_with_gps_compass"],
                     "prev_episodic_gpses": np.zeros(2, np.float32),
                     "cur_episodic_gpses": np.zeros(2, np.float32),
-                    "prev_episodic_compasses": np.asarray([p_yaw], np.float32),
-                    "cur_episodic_compasses": np.asarray([env.yaw], np.float32),
+                    "prev_episodic_compasses": np.asarray([prev_yaw], np.float32),
+                    "cur_episodic_compasses": np.asarray([cur_yaw], np.float32),
                     "prev_global_positions": prev_gpos.astype(np.float32),
                     "cur_global_positions": cur_gpos.astype(np.float32),
                     "prev_global_rotations": prev_grot.astype(np.float32),
@@ -453,3 +474,10 @@ def generate_scripted_dataset(
                 new_episode = True
         flush()
     return written
+
+
+def generate_scripted_dataset(path: str, n_entries: int, env_cfg=None,
+                              rnd_p: float = 1.0, seed: int = 0) -> int:
+    """Scripted-world generation (default env + oracle follower)."""
+    return generate_dataset(path, n_entries, env_cfg=env_cfg, rnd_p=rnd_p,
+                            seed=seed)

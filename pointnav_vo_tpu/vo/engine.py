@@ -182,12 +182,13 @@ def _forward_all_experts(model, stacked_vars, obs, actions, expert_actions,
     return preds, stats_a, expert_idx
 
 
-def make_train_step(model, icfg: VOInferenceConfig, tcfg: VOTrainConfig, tx,
-                    axis_name: Optional[str] = None):
-    """Build the fused preprocess+forward+loss+update step (jit outside)."""
+def make_loss_fn(model, icfg: VOInferenceConfig, tcfg: VOTrainConfig):
+    """The training objective (preprocess + all-expert forward + grouped
+    regression + geo-invariance), shared by the update step and the
+    grad-snapshot path (reference engine:604-751)."""
     expert_actions = tcfg.expert_actions
 
-    def step(stacked_vars, opt_state, batch, rng):
+    def loss_fn(p, batch_stats, batch, rng):
         obs = preprocess_obs_pairs(
             batch["prev_rgb"], batch["prev_depth"],
             batch["cur_rgb"], batch["cur_depth"], icfg,
@@ -198,83 +199,90 @@ def make_train_step(model, icfg: VOInferenceConfig, tcfg: VOTrainConfig, tx,
         weights = losses_lib.compute_loss_weights(
             actions, gt, tcfg.multiplier_dict, tcfg.loss_weight_fixed
         )
-
-        params = stacked_vars["params"]
-        batch_stats = stacked_vars["batch_stats"]
-
-        def loss_fn(p):
-            variables = {"params": p, "batch_stats": batch_stats}
-            preds, new_stats, _ = _forward_all_experts(
-                model, variables, obs, actions, expert_actions, rng, True, valid
-            )
-            metrics = {}
-            total = 0.0
-            # regression loss per (expert action, data type) group — the
-            # reference sums subset means (engine:604-751)
-            data_type_ids = (
-                (CUR_REL_TO_PREV, PREV_REL_TO_CUR)
-                if len(tcfg.geo_invariance_types) > 0
-                else (CUR_REL_TO_PREV,)
-            )
-            for a_i, act in enumerate(expert_actions):
-                for dt in data_type_ids:
-                    if act == -1:
-                        g_mask = valid * (batch["data_types"] == dt)
-                    else:
-                        g_mask = (
-                            valid
-                            * (actions == act)
-                            * (batch["data_types"] == dt)
-                        )
-                    loss_g, diag = losses_lib.weighted_mse_with_diagnostics(
-                        preds, gt, weights, batch["dz_mask"], g_mask
+        variables = {"params": p, "batch_stats": batch_stats}
+        preds, new_stats, _ = _forward_all_experts(
+            model, variables, obs, actions, expert_actions, rng, True, valid
+        )
+        metrics = {}
+        total = 0.0
+        # regression loss per (expert action, data type) group — the
+        # reference sums subset means (engine:604-751)
+        data_type_ids = (
+            (CUR_REL_TO_PREV, PREV_REL_TO_CUR)
+            if len(tcfg.geo_invariance_types) > 0
+            else (CUR_REL_TO_PREV,)
+        )
+        for a_i, act in enumerate(expert_actions):
+            for dt in data_type_ids:
+                if act == -1:
+                    g_mask = valid * (batch["data_types"] == dt)
+                else:
+                    g_mask = (
+                        valid
+                        * (actions == act)
+                        * (batch["data_types"] == dt)
                     )
-                    has_any = jnp.sum(g_mask) > 0
-                    total = total + jnp.where(has_any, loss_g, 0.0)
-                    tag = f"act{act}_dt{dt}"
-                    metrics[f"abs_diff/{tag}"] = diag["abs_diff"]
-                    metrics[f"relative_diff/{tag}"] = diag["relative_diff"]
+                loss_g, diag = losses_lib.weighted_mse_with_diagnostics(
+                    preds, gt, weights, batch["dz_mask"], g_mask
+                )
+                has_any = jnp.sum(g_mask) > 0
+                total = total + jnp.where(has_any, loss_g, 0.0)
+                tag = f"act{act}_dt{dt}"
+                metrics[f"abs_diff/{tag}"] = diag["abs_diff"]
+                metrics[f"relative_diff/{tag}"] = diag["relative_diff"]
 
-            if tcfg.joint:
-                pair_pred = preds.reshape(-1, 2, 3)
-                pair_act = actions.reshape(-1, 2)[:, 0]
-                # Guard the twin pairing: the inverse loss is only meaningful
-                # on adjacent (primary, swapped) rows.  The reference asserts
-                # data_types[0::2]==CUR_REL_TO_PREV / [1::2]==PREV_REL_TO_CUR
-                # (engine:367-374); here a malformed pair is masked out of the
-                # loss (and counted) instead of silently pairing unrelated
-                # samples.
-                dt = batch["data_types"].reshape(-1, 2)
-                pair_ok = (
-                    (dt[:, 0] == CUR_REL_TO_PREV) & (dt[:, 1] == PREV_REL_TO_CUR)
-                ).astype(jnp.float32)
-                pair_valid = (
-                    valid.reshape(-1, 2)[:, 0]
-                    * valid.reshape(-1, 2)[:, 1]
-                    * pair_ok
-                )
-                metrics["geo/malformed_pairs"] = jnp.sum(
-                    (1.0 - pair_ok) * valid.reshape(-1, 2)[:, 0]
-                )
-                geo_loss, abs_rot, abs_pos = losses_lib.geo_invariance_inverse_loss(
-                    pair_pred[:, 0], pair_pred[:, 1], pair_act, pair_valid
-                )
-                total = total + tcfg.loss_inv_weight * geo_loss
-                metrics["geo/abs_diff_rot"] = abs_rot
-                metrics["geo/abs_diff_pos"] = abs_pos
-                # the reference's train_debug sanity check on GT deltas
-                # (engine:510-535): invariance loss of the ground truth ~ 0
-                pair_gt = gt.reshape(-1, 2, 3)
-                _, dbg_rot, dbg_pos = losses_lib.geo_invariance_inverse_loss(
-                    pair_gt[:, 0], pair_gt[:, 1], pair_act, pair_valid
-                )
-                metrics["debug_geo/abs_diff_rot"] = dbg_rot
-                metrics["debug_geo/abs_diff_pos"] = dbg_pos
+        if tcfg.joint:
+            pair_pred = preds.reshape(-1, 2, 3)
+            pair_act = actions.reshape(-1, 2)[:, 0]
+            # Guard the twin pairing: the inverse loss is only meaningful
+            # on adjacent (primary, swapped) rows.  The reference asserts
+            # data_types[0::2]==CUR_REL_TO_PREV / [1::2]==PREV_REL_TO_CUR
+            # (engine:367-374); here a malformed pair is masked out of the
+            # loss (and counted) instead of silently pairing unrelated
+            # samples.
+            dt = batch["data_types"].reshape(-1, 2)
+            pair_ok = (
+                (dt[:, 0] == CUR_REL_TO_PREV) & (dt[:, 1] == PREV_REL_TO_CUR)
+            ).astype(jnp.float32)
+            pair_valid = (
+                valid.reshape(-1, 2)[:, 0]
+                * valid.reshape(-1, 2)[:, 1]
+                * pair_ok
+            )
+            metrics["geo/malformed_pairs"] = jnp.sum(
+                (1.0 - pair_ok) * valid.reshape(-1, 2)[:, 0]
+            )
+            geo_loss, abs_rot, abs_pos = losses_lib.geo_invariance_inverse_loss(
+                pair_pred[:, 0], pair_pred[:, 1], pair_act, pair_valid
+            )
+            total = total + tcfg.loss_inv_weight * geo_loss
+            metrics["geo/abs_diff_rot"] = abs_rot
+            metrics["geo/abs_diff_pos"] = abs_pos
+            # the reference's train_debug sanity check on GT deltas
+            # (engine:510-535): invariance loss of the ground truth ~ 0
+            pair_gt = gt.reshape(-1, 2, 3)
+            _, dbg_rot, dbg_pos = losses_lib.geo_invariance_inverse_loss(
+                pair_gt[:, 0], pair_gt[:, 1], pair_act, pair_valid
+            )
+            metrics["debug_geo/abs_diff_rot"] = dbg_rot
+            metrics["debug_geo/abs_diff_pos"] = dbg_pos
 
-            metrics["total_loss"] = total
-            return total, (new_stats, metrics)
+        metrics["total_loss"] = total
+        return total, (new_stats, metrics)
 
-        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(params)
+    return loss_fn
+
+
+def make_train_step(model, icfg: VOInferenceConfig, tcfg: VOTrainConfig, tx,
+                    axis_name: Optional[str] = None):
+    """Build the fused preprocess+forward+loss+update step (jit outside)."""
+    loss_fn = make_loss_fn(model, icfg, tcfg)
+
+    def step(stacked_vars, opt_state, batch, rng):
+        params = stacked_vars["params"]
+        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
+            params, stacked_vars["batch_stats"], batch, rng
+        )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             metrics = jax.lax.pmean(metrics, axis_name)
@@ -287,6 +295,20 @@ def make_train_step(model, icfg: VOInferenceConfig, tcfg: VOTrainConfig, tx,
         return {"params": params, "batch_stats": new_stats}, opt_state, metrics
 
     return step
+
+
+def make_grad_fn(model, icfg: VOInferenceConfig, tcfg: VOTrainConfig):
+    """Per-parameter gradient tree for one batch — no update.  Backs the
+    TB gradient histograms (reference _log_grad, vo_cnn_engine.py:230-262)."""
+    loss_fn = make_loss_fn(model, icfg, tcfg)
+
+    def grad_fn(stacked_vars, batch, rng):
+        grads, _ = jax.grad(loss_fn, has_aux=True)(
+            stacked_vars["params"], stacked_vars["batch_stats"], batch, rng
+        )
+        return grads
+
+    return grad_fn
 
 
 def make_eval_step(model, icfg: VOInferenceConfig, tcfg: VOTrainConfig):
@@ -395,6 +417,31 @@ class VORegressionEngine:
         self._eval_step = jax.jit(make_eval_step(self.model, icfg, tcfg))
 
     # ------------------------------------------------------------------
+
+    def grad_snapshot(self) -> Dict:
+        """Per-parameter gradient tree on one fresh train batch (no update) —
+        feeds TB gradient histograms (reference _log_grad,
+        vo_cnn_engine.py:230-262)."""
+        assert self.train_reader is not None
+        if not hasattr(self, "_grad_fn"):
+            self._grad_fn = jax.jit(make_grad_fn(self.model, self.icfg, self.tcfg))
+        batch = next(iter(self.train_reader.iter_batches(
+            self.tcfg.batch_size, rng=np.random.default_rng(0), drop_last=True)))
+        self.rng, sub = jax.random.split(self.rng)
+        return jax.device_get(self._grad_fn(self.variables,
+                                            _batch_to_device(batch), sub))
+
+    def obs_snapshot(self) -> Dict[str, np.ndarray]:
+        """First train sample's preprocessed observation channels — feeds the
+        per-epoch TB input-image dumps (reference _obs_log_func,
+        engine:1364-1423)."""
+        assert self.train_reader is not None
+        batch = next(iter(self.train_reader.iter_batches(
+            self.tcfg.batch_size, rng=np.random.default_rng(0), drop_last=True)))
+        arrs = _batch_to_device(batch)
+        obs = preprocess_obs_pairs(arrs["prev_rgb"], arrs["prev_depth"],
+                                   arrs["cur_rgb"], arrs["cur_depth"], self.icfg)
+        return {k: np.asarray(v[0]) for k, v in obs.items()}
 
     def train_epoch(self) -> Dict[str, float]:
         assert self.train_reader is not None

@@ -30,13 +30,22 @@ def test_eval_with_rnd_mode_reports_pred_std():
     env_cfg = EnvConfig(image_h=32, image_w=32, max_episode_steps=15,
                         actuation_noise_multiplier=0.0, rgb_noise_intensity=0.0,
                         depth_noise_multiplier=0.0)
-    envs = make_scripted_vector_env(env_cfg, num_envs=2, seed=0)
-    policy = GreedyGoalPolicy(turn_angle_deg=env_cfg.turn_angle_deg,
-                              success_distance=env_cfg.success_distance)
-    ev = Evaluator(model=policy, variables={"params": {}}, envs=envs,
-                   vo_ensemble=ens, rng=jax.random.PRNGKey(1))
-    agg = ev.run(num_episodes=2)
+    aggs = {}
+    for fused in (True, False):
+        envs = make_scripted_vector_env(env_cfg, num_envs=2, seed=0)
+        policy = GreedyGoalPolicy(turn_angle_deg=env_cfg.turn_angle_deg,
+                                  success_distance=env_cfg.success_distance)
+        ev = Evaluator(model=policy, variables={"params": {}}, envs=envs,
+                       vo_ensemble=ens, rng=jax.random.PRNGKey(1), fused=fused)
+        aggs[fused] = ev.run(num_episodes=2)
+    agg = aggs[True]
     # untrained VO -> goals drift, but the uncertainty plumbing must report
     assert "vo_pred_std_mean" in agg
     assert agg["vo_pred_std_mean"] > 0.0
     assert np.isfinite(agg["vo_l2_mean"])
+    # the fused mega-step consumes the dropout rng exactly like the
+    # two-dispatch path -> bit-equal trajectories and uncertainties
+    for key in ("success", "spl", "distance_to_goal", "total_env_steps",
+                "vo_l2_mean", "vo_pred_std_mean"):
+        np.testing.assert_allclose(aggs[True][key], aggs[False][key],
+                                   rtol=1e-6, err_msg=key)

@@ -105,6 +105,40 @@ def test_rnd_mode_dropout_ensemble():
     np.testing.assert_array_equal(np.asarray(delta), np.asarray(delta2))
 
 
+def test_bucketed_det_path_matches_all_experts():
+    """Each sample running only its own expert (static buckets) is equal to
+    the all-experts + gather program — including skewed and empty buckets."""
+    from pointnav_vo_tpu.vo.ensemble import bucket_expert_indices
+
+    ensemble, _, _ = _make_ensemble()
+    cases = [
+        np.array([1, 3, 2, 1, 1, 2, 3, 1], np.int32),  # mixed
+        np.array([1, 1, 1, 1, 1, 1, 1, 1], np.int32),  # all-forward (skew)
+        np.array([2, 3], np.int32),                     # no forward samples
+        np.array([0, 1, 2], np.int32),                  # STOP clips to forward
+    ]
+    for actions in cases:
+        b = len(actions)
+        obs = _dummy_obs(b, seed=int(actions.sum()))
+        ref, _ = ensemble.predict(obs, jnp.asarray(actions))
+        fast, std = ensemble.predict(obs, actions)  # numpy actions -> buckets
+        np.testing.assert_array_equal(np.asarray(std), 0.0)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=1e-6, rtol=1e-6)
+        # explicit bucket API agrees too
+        fast2, _ = ensemble.predict_bucketed(obs, bucket_expert_indices(actions, b))
+        np.testing.assert_array_equal(np.asarray(fast2), np.asarray(fast))
+
+
+def test_bucket_capacities_are_power_of_two_grid():
+    from pointnav_vo_tpu.vo.ensemble import bucket_expert_indices
+
+    idx = bucket_expert_indices(np.array([1] * 5 + [2] * 3, np.int32), 8)
+    assert [len(i) for i in idx] == [8, 4, 0]  # 5->8, 3->4, 0->0
+    assert list(idx[0][:5]) == [0, 1, 2, 3, 4]
+    assert all(v == 8 for v in idx[0][5:])  # pad = batch (dropped row)
+
+
 def test_full_api_fused():
     ensemble, _, _ = _make_ensemble()
     rng = np.random.default_rng(4)

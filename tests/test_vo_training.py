@@ -151,6 +151,28 @@ def _fast_engine(icfg, tcfg, train_reader, eval_reader=None):
     )
 
 
+def test_grad_and_obs_snapshots(dataset_path):
+    """grad_snapshot returns a full per-parameter gradient tree (TB
+    histograms) and obs_snapshot the preprocessed first-sample channels."""
+    tcfg = VOTrainConfig(batch_size=16, epochs=1, action_type=MOVE_FORWARD)
+    reader = FramePairReader(dataset_path, W, H, act_type=MOVE_FORWARD)
+    engine = _fast_engine(_small_icfg(), tcfg, reader)
+
+    grads = engine.grad_snapshot()
+    leaves = jax.tree.leaves(grads)
+    assert len(leaves) > 10  # one leaf per parameter array
+    assert any(float(np.abs(np.asarray(g)).max()) > 0 for g in leaves)
+    # same tree structure as the params (per-expert leading axis)
+    assert (jax.tree_util.tree_structure(grads)
+            == jax.tree_util.tree_structure(jax.device_get(
+                engine.variables["params"])))
+
+    obs0 = engine.obs_snapshot()
+    assert obs0["rgb"].shape == (H, W, 6)
+    assert obs0["depth"].shape == (H, W, 2)
+    assert obs0["top_down_view"].shape == (H, W, 2)
+
+
 def test_forward_engine_trains_and_evals(dataset_path, tmp_path):
     """Stage-1 style: forward-only model, loss decreases over epochs."""
     tcfg = VOTrainConfig(batch_size=16, epochs=3, action_type=MOVE_FORWARD,
