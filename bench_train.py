@@ -29,6 +29,10 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=BATCH)
     p.add_argument("--iters", type=int, default=ITERS)
+    p.add_argument("--precision", choices=("fp32", "bf16"), default="bf16",
+                   help="bf16 = mixed precision (bf16 activations/convs, "
+                        "fp32 params+adam), the documented fast mode; fp32 "
+                        "matches reference numerics")
     p.add_argument("--save", action="store_true")
     args = p.parse_args()
 
@@ -43,7 +47,8 @@ def main() -> None:
     from pointnav_vo_tpu.vo.ensemble import VOInferenceConfig
 
     batch = args.batch
-    icfg = VOInferenceConfig()
+    icfg = VOInferenceConfig(
+        dtype=(jnp.bfloat16 if args.precision == "bf16" else jnp.float32))
     tcfg = VOTrainConfig(
         batch_size=batch, epochs=1, action_type=(TURN_LEFT, TURN_RIGHT),
         geo_invariance_types=("inverse_joint_train",), lr=1.5e-4,
@@ -98,8 +103,9 @@ def main() -> None:
     result = {
         "metric": "vo_train_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 2),
-        "unit": f"frame-pairs/s (batch {batch}, 341x192, joint turn stage: "
-                "fused preprocess + 2 stacked experts + geo-invariance + adam)",
+        "unit": f"frame-pairs/s (batch {batch}, 341x192, {args.precision}, "
+                "joint turn stage: fused preprocess + 2 stacked experts + "
+                "geo-invariance + adam)",
         "vs_baseline": round(pairs_per_sec / REFERENCE_TRAIN_PAIRS_PER_SEC, 2),
     }
     print(json.dumps(result))

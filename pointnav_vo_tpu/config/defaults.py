@@ -206,6 +206,9 @@ def get_vo_config(paths: Optional[List[str]] = None, opts: Optional[list] = None
             "VIS_SIZE_H": 192,
             "TRAIN": {
                 "lr": 2.5e-4,
+                # "bf16": mixed-precision fast mode (bf16 activations/convs,
+                # fp32 params + adam); "fp32" matches reference numerics
+                "precision": "fp32",
                 "weight_decay": 0.0,
                 "scheduler": "none",
                 "eps": 1e-8,

@@ -105,9 +105,12 @@ def make_nav_rl_env(config: Config, num_envs: int, seed: int = 0, noisy: bool = 
 # ---------------------------------------------------------------------------
 
 
-def vo_inference_config_from(config: Config, model_node: Config) -> VOInferenceConfig:
+def vo_inference_config_from(config: Config, model_node: Config,
+                             precision: str = "fp32") -> VOInferenceConfig:
     sim = config.TASK_CONFIG.SIMULATOR
+    precision = model_node.get("precision", precision)
     return VOInferenceConfig(
+        dtype=(jnp.bfloat16 if precision == "bf16" else jnp.float32),
         model_name=model_node.name,
         observation_space=tuple(model_node.visual_type),
         vis_size_w=config.VO.VIS_SIZE_W,
@@ -162,7 +165,11 @@ class VOGeoInvarianceEngine:
             act_type = tuple(act_type)
         geo_types = tuple(vo.GEOMETRY.invariance_types)
 
-        self.icfg = vo_inference_config_from(config, vo.MODEL)
+        # VO.TRAIN.precision: "bf16" -> mixed precision (bf16 compute on the
+        # MXU, fp32 params/optimizer) — a documented fast mode; default fp32
+        # matches the reference numerics
+        self.icfg = vo_inference_config_from(
+            config, vo.MODEL, precision=vo.TRAIN.get("precision", "fp32"))
         self.tcfg = VOTrainConfig(
             lr=vo.TRAIN.lr,
             eps=vo.TRAIN.eps,

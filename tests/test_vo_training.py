@@ -151,6 +151,22 @@ def _fast_engine(icfg, tcfg, train_reader, eval_reader=None):
     )
 
 
+def test_bf16_mixed_precision_training(dataset_path):
+    """bf16 fast mode: activations/convs in bf16, params + adam in fp32;
+    loss improves and the param tree stays fp32."""
+    icfg = VOInferenceConfig(vis_size_w=W, vis_size_h=H, dtype=jnp.bfloat16)
+    tcfg = VOTrainConfig(batch_size=16, epochs=2, action_type=MOVE_FORWARD,
+                         lr=2e-4)
+    reader = FramePairReader(dataset_path, W, H, act_type=MOVE_FORWARD)
+    engine = _fast_engine(icfg, tcfg, reader)
+
+    losses = [engine.train_epoch()["mean_total_loss"] for _ in range(2)]
+    assert all(np.isfinite(losses))
+    assert losses[1] < losses[0], f"bf16 training did not improve: {losses}"
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree.leaves(engine.variables["params"]))
+
+
 def test_grad_and_obs_snapshots(dataset_path):
     """grad_snapshot returns a full per-parameter gradient tree (TB
     histograms) and obs_snapshot the preprocessed first-sample channels."""
