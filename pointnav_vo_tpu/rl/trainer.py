@@ -96,6 +96,7 @@ class DDPPOTrainer:
         rng: jax.Array,
         variables: Optional[Dict] = None,
         vo_ensemble=None,
+        vo_fn=None,
         mesh=None,
         total_updates: Optional[int] = None,
         reward_window_size: int = 50,
@@ -104,6 +105,10 @@ class DDPPOTrainer:
         self.cfg = ppo_cfg
         self.envs = envs
         self.vo = vo_ensemble
+        # external delta source f(prev_obs, new_obs, actions_np, infos) ->
+        # delta [N, 3] — the hook for classical VO (ops/classical_vo) or
+        # test oracles; mirrors Evaluator's vo_fn
+        self.vo_fn = vo_fn
         self.mesh = mesh
         self.rng = rng
         self.total_updates = total_updates
@@ -129,7 +134,7 @@ class DDPPOTrainer:
         self.prev_actions = jnp.zeros((n, 1), jnp.int32)
         self.masks = jnp.zeros((n, 1))
 
-        if self.vo is not None:
+        if self.vo is not None or self.vo_fn is not None:
             sensor = self._last_obs["pointgoal_with_gps_compass"]
             self.goal_cart = geo.pointgoal_polar2cartesian(sensor)
             self._last_obs = dict(self._last_obs)
@@ -187,13 +192,32 @@ class DDPPOTrainer:
 
     # -- rollout collection ----------------------------------------------------
 
-    def _vo_update_goal(self, prev_obs, new_obs, actions, dones):
+    def _vo_update_goal(self, prev_obs, new_obs, actions, actions_np, dones,
+                        infos=None):
         t0 = time.perf_counter()
-        delta, _std, _ = self.vo.compute_local_delta_states_from_vo(
-            prev_obs["rgb"], prev_obs["depth"],
-            jnp.asarray(new_obs["rgb"]), jnp.asarray(new_obs["depth"]),
-            actions[:, 0],
-        )
+        if self.vo_fn is not None:
+            delta = self.vo_fn(prev_obs, new_obs, actions_np, infos)
+        elif self.vo.cfg.mode == "det":
+            cur_rgb = jnp.asarray(new_obs["rgb"])
+            cur_depth = jnp.asarray(new_obs["depth"])
+            # steady-state det path: the previous frame's features are the
+            # last step's cache (each frame preprocessed once per rollout;
+            # auto-reset keeps the cache valid across episode ends) and each
+            # sample runs only its own expert — same math as the full
+            # recompute, ~half the preprocess + 1/3 the forward FLOPs
+            from pointnav_vo_tpu.vo.ensemble import frame_features
+
+            if getattr(self, "_vo_feats", None) is None:
+                self._vo_feats = frame_features(
+                    prev_obs["rgb"], prev_obs["depth"], self.vo.cfg)
+            delta, self._vo_feats = self.vo.predict_step_cached(
+                self._vo_feats, cur_rgb, cur_depth, actions_np)
+        else:
+            delta, _std, _ = self.vo.compute_local_delta_states_from_vo(
+                prev_obs["rgb"], prev_obs["depth"],
+                jnp.asarray(new_obs["rgb"]), jnp.asarray(new_obs["depth"]),
+                actions[:, 0],
+            )
         reset = jnp.asarray(dones.astype(np.float32))[:, None]
         sensor = jnp.asarray(new_obs["pointgoal_with_gps_compass"])
         self.goal_cart, polar = propagate_goal(self.goal_cart, delta, reset, sensor)
@@ -233,8 +257,9 @@ class DDPPOTrainer:
                     self.episode_reward[i] = 0.0
 
             new_obs = {k: jnp.asarray(v) for k, v in obs.items()}
-            if self.vo is not None:
-                polar = self._vo_update_goal(self._last_obs, obs, action, dones)
+            if self.vo is not None or self.vo_fn is not None:
+                polar = self._vo_update_goal(self._last_obs, obs, action,
+                                             actions_np, dones, infos)
                 new_obs["pointgoal_with_gps_compass"] = polar
 
             masks = jnp.asarray(1.0 - dones.astype(np.float32))[:, None]
