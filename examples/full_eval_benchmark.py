@@ -106,6 +106,13 @@ def main():
     masks = jnp.zeros((n, 1))
     goal_cart = geo.pointgoal_polar2cartesian(goal_polar)
 
+    # steady-state VO: the previous frame's features are cached from the
+    # last step (each frame's top-down projection runs once), and each
+    # sample runs only its own expert via static action buckets
+    from pointnav_vo_tpu.vo.ensemble import frame_features
+
+    feats = frame_features(rgb_dev, depth_dev, vo_cfg)
+
     timing = {"act": 0.0, "vo": 0.0, "env": 0.0, "ship": 0.0}
     half_turn = np.radians(env_cfg.turn_angle_deg) / 2
     episodes_done = 0
@@ -144,8 +151,8 @@ def main():
         timing["ship"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        delta, _std, _ = ensemble.compute_local_delta_states_from_vo(
-            rgb_dev, depth_dev, new_rgb_dev, new_depth_dev, jnp.asarray(actions),
+        delta, feats = ensemble.predict_step_cached(
+            feats, new_rgb_dev, new_depth_dev, actions,
         )
         gt = jnp.asarray(np.stack([i["gt_delta"] for i in infos]))
         reset = jnp.asarray(dones.astype(np.float32))[:, None]
@@ -175,6 +182,12 @@ def main():
           f" ({REFERENCE_EVAL_HOURS*60/device_proj_min:.1f}x vs reference 270 min);"
           f" end-to-end on this dev box {e2e_proj_min:.1f} min"
           f" (single-core host + tunneled TPU; see docstring)")
+    # episodes shard over the mesh's data axis with replicated params and no
+    # cross-chip traffic (Evaluator(mesh=...), tested on the 8-virtual-device
+    # CPU mesh), so v5e-8 divides the device-bound time by the chip count
+    print(f"v5e-8 projection (episodes sharded 8 ways): "
+          f"{device_proj_min / 8:.1f} min device-bound "
+          f"({REFERENCE_EVAL_HOURS * 60 / (device_proj_min / 8):.0f}x vs reference)")
 
 
 if __name__ == "__main__":
