@@ -59,6 +59,7 @@ class PointNavVOAgent:
         self._prev_action = jnp.zeros((1, 1), jnp.int32)
         self._mask = jnp.zeros((1, 1))
         self._prev_obs = None
+        self._feats = None  # cached frame features (det steady-state path)
         self._goal_cart = None
         self._stopped = False
 
@@ -82,6 +83,16 @@ class PointNavVOAgent:
             if self.vo_fn is not None:
                 delta, _std = self.vo_fn(prev_rgb, prev_depth, rgb, depth,
                                          self._prev_action[:, 0], observations)
+            elif self.vo.cfg.mode == "det":
+                # steady-state det path: each frame preprocessed once per
+                # episode, cur features cached for the next step
+                from pointnav_vo_tpu.vo.ensemble import frame_features
+
+                if self._feats is None:
+                    self._feats = frame_features(prev_rgb, prev_depth, self.vo.cfg)
+                delta, self._feats = self.vo.predict_step_cached(
+                    self._feats, rgb, depth, np.asarray(self._prev_action[:, 0]),
+                )
             else:
                 self.rng, sub = jax.random.split(self.rng)
                 delta, _std, _ = self.vo.compute_local_delta_states_from_vo(

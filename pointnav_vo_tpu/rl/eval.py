@@ -71,6 +71,7 @@ def fused_vo_act_step(
     act_rng,
     deterministic: bool = True,
     bucket_idx=None,
+    expert_ids=None,
     prev_feats=None,
 ):
     """The SURVEY §7 "one jitted mega-step": VO preprocess + expert forward
@@ -105,7 +106,7 @@ def fused_vo_act_step(
     obs_pairs = pair_from_features(prev_feats, cur_feats)
     if vo_cfg.mode == "det" and bucket_idx is not None:
         delta = _predict_det_bucketed(vo_model, vo_cfg, vo_variables, obs_pairs,
-                                      bucket_idx)
+                                      bucket_idx, expert_ids)
         std = jnp.zeros_like(delta)
     else:
         delta, std = _predict(vo_model, vo_cfg, vo_variables, obs_pairs,
@@ -287,14 +288,19 @@ class Evaluator:
                     self.rng, vo_sub = jax.random.split(self.rng)
                     self.rng, act_sub = jax.random.split(self.rng)
                     next_masks = 1.0 - reset
-                    buckets = None
+                    buckets = expert_ids = None
                     if self.vo.cfg.mode == "det" and self.mesh is None:
                         # bucket indices address the global batch; under a
                         # mesh they would force cross-chip gathers — sharded
-                        # eval keeps the cleanly-partitioned all-experts path
-                        from pointnav_vo_tpu.vo.ensemble import bucket_expert_indices
+                        # eval keeps the cleanly-partitioned all-experts path.
+                        # static occupancy-sorted capacities: one compile for
+                        # any action mix
+                        from pointnav_vo_tpu.vo.ensemble import (
+                            bucket_expert_indices_static,
+                        )
 
-                        buckets = bucket_expert_indices(actions_np, n)
+                        buckets, order = bucket_expert_indices_static(actions_np, n)
+                        expert_ids = jnp.asarray(order)
                     (goal_cart, polar, delta, std, _value, next_action, _lp,
                      hidden, feats_cache) = fused_vo_act_step(
                         self.model, self.vo.model, self.vo.cfg,
@@ -305,6 +311,7 @@ class Evaluator:
                         hidden, action, next_masks, vo_sub, act_sub,
                         deterministic=self.deterministic,
                         bucket_idx=buckets,
+                        expert_ids=expert_ids,
                         prev_feats=feats_cache,
                     )
                 else:

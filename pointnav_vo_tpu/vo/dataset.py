@@ -100,12 +100,36 @@ class FramePairBatch:
     entry_idx: np.ndarray  # [B] int32
 
 
+def resolve_dataset_paths(path) -> List[str]:
+    """Normalize a dataset spec to a sorted file list: a single path, a
+    list/tuple, a comma-separated string, or a glob pattern."""
+    if isinstance(path, (list, tuple)):
+        out = [str(p) for p in path]
+    elif "," in str(path):
+        out = [p.strip() for p in str(path).split(",") if p.strip()]
+    elif any(ch in str(path) for ch in "*?["):
+        import glob
+
+        out = sorted(glob.glob(str(path)))
+        if not out:
+            raise FileNotFoundError(f"dataset glob matched nothing: {path}")
+    else:
+        out = [str(path)]
+    return out
+
+
 class FramePairReader:
-    """Chunked HDF5 reader with inverse augmentation and chunk sharding."""
+    """Chunked HDF5 reader with inverse augmentation and chunk sharding.
+
+    ``path`` may be a single file, a list of files, a comma-separated list,
+    or a glob pattern — the reference generates its 1M-pair datasets as many
+    per-job files (one SLURM array task each, generate_datasets.py); reading
+    them as one logical dataset needs no merge step.
+    """
 
     def __init__(
         self,
-        path: str,
+        path,
         vis_size_w: int,
         vis_size_h: int,
         act_type=-1,
@@ -114,16 +138,21 @@ class FramePairReader:
         shard_index: int = 0,
         num_shards: int = 1,
     ):
-        self.path = path
+        self.paths = resolve_dataset_paths(path)
+        self.path = self.paths[0]  # back-compat attribute
         self.w, self.h = vis_size_w, vis_size_h
         self.act_type = act_type
         self.geo_types = tuple(geo_invariance_types)
         self.n_splits = partial_data_n_splits
-        with h5py.File(path, "r") as f:
-            keys = sorted(f.keys(), key=lambda k: int(k.split("_")[-1]))
-            self.chunk_keys = keys[shard_index::num_shards]
-            self._len = 0
-            for k in self.chunk_keys:
+        chunks = []
+        self._len = 0
+        for pth in self.paths:
+            with h5py.File(pth, "r") as f:
+                keys = sorted(f.keys(), key=lambda k: int(k.split("_")[-1]))
+                chunks.extend((pth, k) for k in keys)
+        self.chunks = chunks[shard_index::num_shards]
+        for pth, k in self.chunks:
+            with h5py.File(pth, "r") as f:
                 self._len += self._valid_indices(f[k]).size
 
     def _valid_indices(self, grp) -> np.ndarray:
@@ -172,8 +201,8 @@ class FramePairReader:
         augmented twins) — the eval-count tripwire of reference
         engine:1131-1142 needs this as the expected total."""
         total = 0
-        with h5py.File(self.path, "r") as f:
-            for key in self.chunk_keys:
+        for pth, key in self.chunks:
+            with h5py.File(pth, "r") as f:
                 grp = f[key]
                 idx = self._valid_indices(grp)
                 total += self._count_samples(grp["actions"][()][idx])
@@ -237,14 +266,17 @@ class FramePairReader:
     ) -> Iterator[FramePairBatch]:
         """One epoch. Chunks are loaded whole into RAM, samples shuffled
         within each chunk (reference worker behavior, dataset:454-524)."""
-        chunk_order = list(range(len(self.chunk_keys)))
+        chunk_order = list(range(len(self.chunks)))
         if rng is not None:
             rng.shuffle(chunk_order)
         pending: List[Tuple[int, Dict, Tuple]] = []
-        with h5py.File(self.path, "r") as f:
+        files: Dict[str, "h5py.File"] = {}
+        try:
             for ci in chunk_order:
-                key = self.chunk_keys[ci]
-                grp = f[key]
+                pth, key = self.chunks[ci]
+                if pth not in files:
+                    files[pth] = h5py.File(pth, "r")
+                grp = files[pth][key]
                 data = self._decode_chunk(grp)
                 idx = self._valid_indices(grp)
                 if rng is not None:
@@ -260,6 +292,9 @@ class FramePairReader:
                         pending = []
             if pending and not drop_last:
                 yield self._assemble(pending)
+        finally:
+            for f in files.values():
+                f.close()
 
     @staticmethod
     def _assemble(items) -> FramePairBatch:
@@ -481,3 +516,43 @@ def generate_scripted_dataset(path: str, n_entries: int, env_cfg=None,
     """Scripted-world generation (default env + oracle follower)."""
     return generate_dataset(path, n_entries, env_cfg=env_cfg, rnd_p=rnd_p,
                             seed=seed)
+
+
+def generate_dataset_parallel(
+    path_prefix: str,
+    n_entries: int,
+    n_workers: int,
+    env_factory=None,
+    follower_factory=None,
+    env_cfg=None,
+    rnd_p: float = 1.0,
+    seed: int = 0,
+) -> List[str]:
+    """Fan dataset generation over worker processes, one file each — the
+    in-process analogue of the reference's SLURM array jobs
+    (generate_datasets.py + its sbatch wrappers).  Each worker rolls its own
+    env (seeded ``seed + 1000 * i``) and writes ``{prefix}.w{i}.h5``; the
+    returned file list (or ``{prefix}.w*.h5``) reads as ONE dataset through
+    FramePairReader.
+    """
+    import multiprocessing as mp
+
+    per = [n_entries // n_workers] * n_workers
+    per[-1] += n_entries - sum(per)
+    paths = [f"{path_prefix}.w{i}.h5" for i in range(n_workers)]
+
+    def _run(i):
+        generate_dataset(paths[i], per[i], env_factory=env_factory,
+                         follower_factory=follower_factory, env_cfg=env_cfg,
+                         rnd_p=rnd_p, seed=seed + 1000 * i)
+
+    ctx = mp.get_context("fork")
+    procs = [ctx.Process(target=_run, args=(i,)) for i in range(n_workers)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    if any(p.exitcode != 0 for p in procs):
+        bad = [i for i, p in enumerate(procs) if p.exitcode != 0]
+        raise RuntimeError(f"dataset workers failed: {bad}")
+    return paths

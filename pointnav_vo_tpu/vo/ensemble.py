@@ -171,7 +171,12 @@ def bucket_expert_indices(actions_np, batch: int) -> Tuple:
     the scatter routes them to a dropped overflow row, so per-sample outputs
     are exactly those of the all-experts path (VERDICT r1 item 4: each sample
     runs only its own expert; total FLOPs ~= sum of rounded bucket sizes
-    instead of n_experts * batch)."""
+    instead of n_experts * batch).
+
+    NOTE: capacities depend on the batch's action mix, so the jitted
+    consumer recompiles per capacity signature — fine for a fixed benchmark
+    mix, pathological in a live eval loop.  The loop paths use
+    :func:`bucket_expert_indices_static` instead."""
     import numpy as np
 
     acts = np.asarray(actions_np).astype(np.int32).reshape(-1)
@@ -186,42 +191,92 @@ def bucket_expert_indices(actions_np, batch: int) -> Tuple:
     return tuple(out)
 
 
+def bucket_expert_indices_static(actions_np, batch: int) -> Tuple:
+    """Expert buckets with ONE compile signature for any action mix.
+
+    Capacities are fixed at (B, ceil(B/2), ceil(B/3)) and experts are
+    assigned to buckets by descending occupancy — always sufficient, since
+    sorted counts c1 >= c2 >= c3 with c1+c2+c3 = B satisfy c2 <= B/2 and
+    c3 <= B/3.  Total forward rows ~1.83B vs the all-experts path's 3B, and
+    the jitted step never recompiles (the power-of-two scheme churned a
+    fresh XLA compile per capacity signature in live eval loops — measured
+    3 s/step amortized at batch 32 on this box).
+
+    Returns (bucket_idx tuple, expert_ids int32 [n_experts]) — expert_ids[j]
+    is the (traced) expert whose parameters bucket j runs.
+    """
+    import numpy as np
+
+    n_exp = len(VO_EXPERT_ACTIONS)
+    acts = np.asarray(actions_np).astype(np.int32).reshape(-1)
+    expert_idx = np.clip(acts - 1, 0, n_exp - 1)
+    counts = np.bincount(expert_idx, minlength=n_exp)
+    order = np.argsort(-counts, kind="stable").astype(np.int32)
+    caps = [batch] + [(batch + k) // (k + 1) for k in range(1, n_exp)]
+    out = []
+    for j, e in enumerate(order):
+        pos = np.nonzero(expert_idx == e)[0].astype(np.int32)
+        idx = np.full(caps[j], batch, np.int32)
+        idx[: len(pos)] = pos
+        out.append(idx)
+    return tuple(out), order
+
+
 @functools.partial(jax.jit, static_argnames=("model", "cfg"))
-def _predict_det_bucketed(model, cfg, variables, obs_pairs, bucket_idx):
+def _predict_det_bucketed(model, cfg, variables, obs_pairs, bucket_idx,
+                          expert_ids=None):
     """Det-mode forward where each sample visits only its own expert.
 
-    ``bucket_idx``: per-expert index arrays from :func:`bucket_expert_indices`
-    (capacities are static via the array shapes). Skipping an empty bucket is
-    Python control flow on a static shape — legal under jit."""
+    ``bucket_idx``: per-bucket index arrays (capacities are static via the
+    array shapes). Skipping an empty bucket is Python control flow on a
+    static shape — legal under jit.  Without ``expert_ids`` bucket j runs
+    expert j (:func:`bucket_expert_indices`); with it, bucket j runs the
+    traced ``expert_ids[j]`` (:func:`bucket_expert_indices_static`'s
+    occupancy-sorted assignment)."""
     batch = next(iter(obs_pairs.values())).shape[0]
     out = jnp.zeros((batch + 1, 3), jnp.float32)
-    for e, idx in enumerate(bucket_idx):
+    for j, idx in enumerate(bucket_idx):
         if idx.shape[0] == 0:
             continue
-        # Row selection as an fp32 one-hot matmul: a plain dynamic gather of
-        # image rows lowers catastrophically on TPU (~434 ms for 256 rows of
-        # a [512,192,341,30] batch vs ~4 ms as a matmul, measured on v5e).
-        # fp32 0/1 selectors are exact (one nonzero product per output), and
-        # the pad index == batch falls outside one_hot's class range, giving
-        # an all-zero selector row -> pad outputs are zeros, scattered to the
-        # dropped overflow row below.
-        sel = jax.nn.one_hot(idx, batch, dtype=jnp.float32)  # [C_e, B]
-        sub = {}
-        for k, v in obs_pairs.items():
-            if v.dtype == jnp.bfloat16:
-                # bf16 values select exactly through a bf16 0/1 matmul with
-                # an f32 accumulator (one nonzero product per output) — one
-                # MXU pass instead of HIGHEST's multi-pass f32 emulation
-                sub[k] = jnp.einsum(
-                    "cb,b...->c...", sel.astype(jnp.bfloat16), v,
-                    preferred_element_type=jnp.float32,
-                ).astype(jnp.bfloat16)
-            else:
-                sub[k] = jnp.einsum("cb,b...->c...", sel, v,
-                                    precision=jax.lax.Precision.HIGHEST)
-        params_e = jax.tree.map(lambda x: x[e], variables)
-        pred = model.apply(params_e, sub, train=False)  # [C_e, 3]
-        out = out.at[idx].set(pred.astype(jnp.float32))
+        e = j if expert_ids is None else expert_ids[j]
+
+        def run_bucket(idx=idx, e=e):
+            # Row selection as an fp32 one-hot matmul: a plain dynamic gather
+            # of image rows lowers catastrophically on TPU (~434 ms for 256
+            # rows of a [512,192,341,30] batch vs ~4 ms as a matmul, measured
+            # on v5e).  fp32 0/1 selectors are exact (one nonzero product per
+            # output), and the pad index == batch falls outside one_hot's
+            # class range, giving an all-zero selector row -> pad outputs are
+            # zeros, scattered to the dropped overflow row below.
+            sel = jax.nn.one_hot(idx, batch, dtype=jnp.float32)  # [C_e, B]
+            sub = {}
+            for k, v in obs_pairs.items():
+                if v.dtype == jnp.bfloat16:
+                    # bf16 values select exactly through a bf16 0/1 matmul
+                    # with an f32 accumulator (one nonzero product per
+                    # output) — one MXU pass instead of HIGHEST's multi-pass
+                    # f32 emulation
+                    sub[k] = jnp.einsum(
+                        "cb,b...->c...", sel.astype(jnp.bfloat16), v,
+                        preferred_element_type=jnp.float32,
+                    ).astype(jnp.bfloat16)
+                else:
+                    sub[k] = jnp.einsum("cb,b...->c...", sel, v,
+                                        precision=jax.lax.Precision.HIGHEST)
+            params_e = jax.tree.map(lambda x: x[e], variables)
+            pred = model.apply(params_e, sub, train=False)  # [C_e, 3]
+            return pred.astype(jnp.float32)
+
+        # runtime-skip a bucket with no real samples (static capacities mean
+        # an all-one-action batch leaves the other buckets fully padded):
+        # cond lowers to real control flow on TPU, so the empty branches cost
+        # nothing but the predicate
+        pred = jax.lax.cond(
+            jnp.any(idx < batch),
+            run_bucket,
+            lambda: jnp.zeros((idx.shape[0], 3), jnp.float32),
+        )
+        out = out.at[idx].set(pred)
     return out[:batch]
 
 
@@ -302,23 +357,28 @@ class VOEnsemble:
 
         Returns (delta, cur_feats); feed ``cur_feats`` back on the next call.
         This is the per-step unit of work on the eval path (the fused
-        mega-step in rl/eval.py embeds the same computation).
+        mega-step in rl/eval.py embeds the same computation).  Buckets use
+        the static occupancy-sorted capacities, so the jitted step compiles
+        exactly once per (model, batch) regardless of the action mix.
         """
         import numpy as np
 
         assert self.cfg.mode == "det"
         batch = int(cur_rgb.shape[0])
-        buckets = bucket_expert_indices(np.asarray(actions_np), batch)
+        buckets, order = bucket_expert_indices_static(
+            np.asarray(actions_np), batch)
         return _vo_step_cached(self.model, self.cfg, self.variables,
-                               prev_feats, cur_rgb, cur_depth, buckets)
+                               prev_feats, cur_rgb, cur_depth, buckets,
+                               jnp.asarray(order))
 
 
 @functools.partial(jax.jit, static_argnames=("model", "cfg"))
 def _vo_step_cached(model, cfg, variables, prev_feats, cur_rgb, cur_depth,
-                    bucket_idx):
+                    bucket_idx, expert_ids):
     cur_feats = frame_features(cur_rgb, cur_depth, cfg)
     obs = pair_from_features(prev_feats, cur_feats)
-    delta = _predict_det_bucketed(model, cfg, variables, obs, bucket_idx)
+    delta = _predict_det_bucketed(model, cfg, variables, obs, bucket_idx,
+                                  expert_ids)
     return delta, cur_feats
 
 

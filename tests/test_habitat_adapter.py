@@ -221,6 +221,36 @@ def test_dataset_generation_with_injected_habitat_env(tmp_path, habitat_stub):
     assert batch.cur_rgb.shape == (8, 8, 8, 3)
 
 
+def test_parallel_generation_and_multifile_reader(tmp_path):
+    """N worker processes write one file each; the file set (list / comma /
+    glob forms) reads as ONE dataset with the exact combined sample count."""
+    from pointnav_vo_tpu.rl.envs import EnvConfig
+    from pointnav_vo_tpu.vo.dataset import (
+        FramePairReader,
+        generate_dataset_parallel,
+    )
+
+    env_cfg = EnvConfig(image_h=8, image_w=8, max_episode_steps=25)
+    prefix = str(tmp_path / "pairs")
+    paths = generate_dataset_parallel(prefix, 50, n_workers=3, env_cfg=env_cfg,
+                                      seed=7)
+    assert len(paths) == 3
+
+    for spec in (paths, ",".join(paths), prefix + ".w*.h5"):
+        reader = FramePairReader(spec, vis_size_w=8, vis_size_h=8, act_type=-1)
+        assert len(reader) == 50
+        batches = list(reader.iter_batches(16, rng=np.random.default_rng(0)))
+        assert sum(b.actions.shape[0] for b in batches) == 50
+        assert reader.num_samples() == 50
+
+    # distinct worker seeds -> distinct trajectories
+    r0 = FramePairReader(paths[0], 8, 8)
+    r1 = FramePairReader(paths[1], 8, 8)
+    b0 = next(r0.iter_batches(8))
+    b1 = next(r1.iter_batches(8))
+    assert not np.array_equal(b0.gt_delta, b1.gt_delta)
+
+
 def test_vector_env_pause_resume():
     """pause_at shifts indices (habitat semantics) and resume_all restores."""
     from pointnav_vo_tpu.rl.envs import EnvConfig, make_scripted_vector_env
