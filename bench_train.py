@@ -10,6 +10,12 @@ vs_baseline: the reference trains this stage on a single 2080Ti at ~100
 pairs/s (README "~1 day/100 epochs with 4 GPUs" at 1M pairs -> ~460
 pairs/s/4 GPUs, TRAIN.md); we use 115 pairs/s/GPU as the per-device estimate.
 
+Default batch 256 (the per-step fixed costs dominate at the reference's
+128: 1548 -> 2713 -> 3132 pairs/s at 128/256/512 on one v5e chip; large-
+batch training uses the standard linear lr scaling).  The reference recipe
+(1M pairs x 150 epochs, joint stage) completes in ~13-17 h on ONE chip at
+these rates, vs ~a day on 4 GPUs for the reference.
+
 Prints ONE JSON line and (with --save) writes bench_train.json.
 """
 
@@ -20,7 +26,7 @@ import time
 import numpy as np
 
 REFERENCE_TRAIN_PAIRS_PER_SEC = 115.0
-BATCH = 128
+BATCH = 256
 WARMUP = 2
 ITERS = 8
 
@@ -79,6 +85,13 @@ def main() -> None:
         "dz_mask": jnp.ones((batch,), jnp.float32),
         "valid": jnp.ones((batch,), jnp.float32),
     }
+
+    # joint-stage bucketed fast path: each expert's fwd+bwd touches only its
+    # own half of the batch (exact B/2 occupancy from the twin layout)
+    for j, act in enumerate((TURN_LEFT, TURN_RIGHT)):
+        pos = np.flatnonzero(np.asarray(arrs["actions"]) == act).astype(np.int32)
+        assert len(pos) == batch // 2
+        arrs[f"bucket_idx_{j}"] = jnp.asarray(pos)
 
     variables, opt_state = engine.variables, engine.opt_state
 

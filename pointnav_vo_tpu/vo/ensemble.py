@@ -226,6 +226,27 @@ def bucket_expert_indices_static(actions_np, batch: int) -> Tuple:
     return tuple(out), order
 
 
+def select_rows_onehot(v: jax.Array, idx: jax.Array, batch: int) -> jax.Array:
+    """Select rows ``v[idx]`` as a 0/1 one-hot matmul.
+
+    A plain dynamic gather of image-batch rows lowers catastrophically on
+    TPU (~434 ms for 256 rows of a [512,192,341,30] batch vs ~4 ms as a
+    matmul, measured on v5e).  fp32 0/1 selectors are exact (one nonzero
+    product per output); bf16 values select exactly through a bf16 selector
+    with an f32 accumulator in one MXU pass.  A pad index == batch falls
+    outside one_hot's class range, giving an all-zero selector row -> pad
+    outputs are zeros (callers scatter them to a dropped overflow row).
+    """
+    sel = jax.nn.one_hot(idx, batch, dtype=jnp.float32)  # [C, B]
+    if v.dtype == jnp.bfloat16:
+        return jnp.einsum(
+            "cb,b...->c...", sel.astype(jnp.bfloat16), v,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+    return jnp.einsum("cb,b...->c...", sel, v,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 @functools.partial(jax.jit, static_argnames=("model", "cfg"))
 def _predict_det_bucketed(model, cfg, variables, obs_pairs, bucket_idx,
                           expert_ids=None):
@@ -245,28 +266,8 @@ def _predict_det_bucketed(model, cfg, variables, obs_pairs, bucket_idx,
         e = j if expert_ids is None else expert_ids[j]
 
         def run_bucket(idx=idx, e=e):
-            # Row selection as an fp32 one-hot matmul: a plain dynamic gather
-            # of image rows lowers catastrophically on TPU (~434 ms for 256
-            # rows of a [512,192,341,30] batch vs ~4 ms as a matmul, measured
-            # on v5e).  fp32 0/1 selectors are exact (one nonzero product per
-            # output), and the pad index == batch falls outside one_hot's
-            # class range, giving an all-zero selector row -> pad outputs are
-            # zeros, scattered to the dropped overflow row below.
-            sel = jax.nn.one_hot(idx, batch, dtype=jnp.float32)  # [C_e, B]
-            sub = {}
-            for k, v in obs_pairs.items():
-                if v.dtype == jnp.bfloat16:
-                    # bf16 values select exactly through a bf16 0/1 matmul
-                    # with an f32 accumulator (one nonzero product per
-                    # output) — one MXU pass instead of HIGHEST's multi-pass
-                    # f32 emulation
-                    sub[k] = jnp.einsum(
-                        "cb,b...->c...", sel.astype(jnp.bfloat16), v,
-                        preferred_element_type=jnp.float32,
-                    ).astype(jnp.bfloat16)
-                else:
-                    sub[k] = jnp.einsum("cb,b...->c...", sel, v,
-                                        precision=jax.lax.Precision.HIGHEST)
+            sub = {k: select_rows_onehot(v, idx, batch)
+                   for k, v in obs_pairs.items()}
             params_e = jax.tree.map(lambda x: x[e], variables)
             pred = model.apply(params_e, sub, train=False)  # [C_e, 3]
             return pred.astype(jnp.float32)

@@ -321,7 +321,52 @@ def test_joint_turn_engine_with_geo_loss(dataset_path):
         geo_invariance_types=("inverse_joint_train",),
     )
     engine = _fast_engine(_small_icfg(), tcfg, reader)
+    assert engine._bucketed_train  # joint stage uses the bucketed fast path
     stats = engine.train_epoch()
     assert np.isfinite(stats["total_loss"])
     assert stats["debug_geo/abs_diff_rot"] < 1e-4
     assert stats["frame_pairs_per_s"] > 0
+
+
+def test_bucketed_joint_training_matches_masked_path(dataset_path):
+    """The per-expert bucketed joint train step computes the same loss and
+    parameter update as the masked all-experts design (dropout off so the
+    two programs draw no divergent masks)."""
+    import dataclasses
+
+    from pointnav_vo_tpu.vo.engine import _batch_to_device
+
+    icfg = dataclasses.replace(_small_icfg(), dropout_p=0.0)
+    tcfg = VOTrainConfig(
+        batch_size=16, epochs=1, action_type=(TURN_LEFT, TURN_RIGHT),
+        geo_invariance_types=("inverse_joint_train",), lr=1.5e-4,
+    )
+    reader = FramePairReader(
+        dataset_path, W, H, act_type=(TURN_LEFT, TURN_RIGHT),
+        geo_invariance_types=("inverse_joint_train",),
+    )
+    engine = _fast_engine(icfg, tcfg, reader)
+    batch = next(reader.iter_batches(16, rng=np.random.default_rng(1),
+                                     drop_last=True))
+    arrs = _batch_to_device(batch)
+    arrs_bucketed = engine._attach_train_buckets(arrs, batch)
+    assert "bucket_idx_0" in arrs_bucketed  # exact B/2 occupancy held
+
+    key = jax.random.PRNGKey(3)
+    # _train_step donates its variable/opt buffers: pass fresh copies
+    copy = lambda t: jax.tree.map(jnp.copy, t)  # noqa: E731
+    v_ref, _, m_ref = engine._train_step(copy(engine.variables),
+                                         copy(engine.opt_state), arrs, key)
+    v_fast, _, m_fast = engine._train_step(copy(engine.variables),
+                                           copy(engine.opt_state),
+                                           arrs_bucketed, key)
+    np.testing.assert_allclose(float(m_fast["total_loss"]),
+                               float(m_ref["total_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(v_ref["params"]),
+                    jax.tree.leaves(v_fast["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(v_ref["batch_stats"]),
+                    jax.tree.leaves(v_fast["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
