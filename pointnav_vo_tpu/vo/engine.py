@@ -398,12 +398,9 @@ class VORegressionEngine:
         self.log_dir = log_dir
         self.model = icfg.make_model()
         self.rng = jax.random.PRNGKey(tcfg.seed)
-        # joint-stage bucketed training (see _forward_bucketed_train):
-        # single-chip only — under a mesh the bucket indices would address
-        # the global batch from inside per-shard programs
-        self._bucketed_train = (
-            tcfg.joint and len(tcfg.expert_actions) == 2 and mesh is None
-        )
+        # joint-stage bucketed training (see _forward_bucketed_train); under
+        # a mesh the buckets hold per-shard local indices
+        self._bucketed_train = tcfg.joint and len(tcfg.expert_actions) == 2
         self.epoch = 0
         if tcfg.debug:
             jax.config.update("jax_debug_nans", True)
@@ -459,15 +456,26 @@ class VORegressionEngine:
                 rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
                 return step_fn(variables, opt_state, batch, rng)
 
-            self._train_step = jax.jit(
-                shard_map(
-                    wrapped, mesh=mesh,
-                    in_specs=(P(), P(), batch_spec, P()),
-                    out_specs=(P(), P(), P()),
-                    check_vma=False,
-                ),
-                donate_argnames=("variables", "opt_state"),
-            )
+            def sharded(spec):
+                return jax.jit(
+                    shard_map(
+                        wrapped, mesh=mesh,
+                        in_specs=(P(), P(), spec, P()),
+                        out_specs=(P(), P(), P()),
+                        check_vma=False,
+                    ),
+                    donate_argnames=("variables", "opt_state"),
+                )
+
+            self._train_step = sharded(batch_spec)
+            if self._bucketed_train:
+                # bucket index arrays carry per-shard LOCAL indices,
+                # concatenated in shard order, so P(DATA_AXIS) hands each
+                # device its own half-batch bucket
+                bucket_spec = dict(batch_spec)
+                for j in range(len(tcfg.expert_actions)):
+                    bucket_spec[f"bucket_idx_{j}"] = P(DATA_AXIS)
+                self._train_step_bucketed = sharded(bucket_spec)
         self._eval_step = jax.jit(make_eval_step(self.model, icfg, tcfg))
 
     # ------------------------------------------------------------------
@@ -499,20 +507,29 @@ class VORegressionEngine:
 
     def _attach_train_buckets(self, arrs, batch):
         """Host-side per-expert buckets for the joint-stage fast path: the
-        alternating twin layout makes each expert own exactly half the batch,
-        so the bucket shapes are static and the jitted step compiles once.
-        A malformed batch (unequal counts) falls back to the masked
-        all-experts trace."""
+        alternating twin layout makes each expert own exactly half of every
+        contiguous even-sized slice, so bucket shapes are static and the
+        jitted step compiles once.  Under a mesh the arrays concatenate each
+        shard's LOCAL indices in shard order (sharded P(DATA_AXIS), each
+        device receives its own half-batch bucket).  A malformed batch
+        (unequal counts in any shard) falls back to the masked all-experts
+        trace."""
         b = batch.actions.shape[0]
-        buckets = []
-        for act in self.tcfg.expert_actions:
-            pos = np.flatnonzero(batch.actions == act).astype(np.int32)
-            if len(pos) != b // 2:
-                return arrs
-            buckets.append(pos)
+        n_dev = int(self.mesh.devices.size) if self.mesh is not None else 1
+        if b % (2 * n_dev):
+            return arrs
+        b_loc = b // n_dev
+        per_expert = [[] for _ in self.tcfg.expert_actions]
+        for s in range(n_dev):
+            local = batch.actions[s * b_loc:(s + 1) * b_loc]
+            for j, act in enumerate(self.tcfg.expert_actions):
+                pos = np.flatnonzero(local == act).astype(np.int32)
+                if len(pos) != b_loc // 2:
+                    return arrs
+                per_expert[j].append(pos)
         arrs = dict(arrs)
-        for j, pos in enumerate(buckets):
-            arrs[f"bucket_idx_{j}"] = jnp.asarray(pos)
+        for j, chunks in enumerate(per_expert):
+            arrs[f"bucket_idx_{j}"] = jnp.asarray(np.concatenate(chunks))
         return arrs
 
     def train_epoch(self) -> Dict[str, float]:
@@ -534,7 +551,10 @@ class VORegressionEngine:
             if self._bucketed_train:
                 arrs = self._attach_train_buckets(arrs, batch)
             self.rng, sub = jax.random.split(self.rng)
-            self.variables, self.opt_state, metrics = self._train_step(
+            step = self._train_step
+            if self.mesh is not None and "bucket_idx_0" in arrs:
+                step = self._train_step_bucketed
+            self.variables, self.opt_state, metrics = step(
                 self.variables, self.opt_state, arrs, sub
             )
             n_batches += 1

@@ -328,6 +328,57 @@ def test_joint_turn_engine_with_geo_loss(dataset_path):
     assert stats["frame_pairs_per_s"] > 0
 
 
+def test_bucketed_joint_training_mesh_matches_masked(dataset_path):
+    """Per-shard local buckets over the virtual 4-device mesh compute the
+    same update as the masked all-experts shard_map step."""
+    import dataclasses
+
+    from pointnav_vo_tpu.parallel.mesh import make_mesh
+    from pointnav_vo_tpu.vo.engine import _batch_to_device
+
+    icfg = dataclasses.replace(_small_icfg(), dropout_p=0.0)
+    tcfg = VOTrainConfig(
+        batch_size=16, epochs=1, action_type=(TURN_LEFT, TURN_RIGHT),
+        geo_invariance_types=("inverse_joint_train",), lr=1.5e-4,
+    )
+    reader = FramePairReader(
+        dataset_path, W, H, act_type=(TURN_LEFT, TURN_RIGHT),
+        geo_invariance_types=("inverse_joint_train",),
+    )
+    model = icfg.make_model()
+    dummy = {
+        "rgb": jnp.zeros((1, H, W, 6)), "depth": jnp.zeros((1, H, W, 2)),
+        "discretized_depth": jnp.zeros((1, H, W, 20)),
+        "top_down_view": jnp.zeros((1, H, W, 2)),
+    }
+    per = [fast_init(model, dummy, train=False, seed=i) for i in range(2)]
+    engine = VORegressionEngine(icfg, tcfg, reader, mesh=make_mesh(4),
+                                init_variables_per_expert=per)
+    assert engine._bucketed_train
+    batch = next(reader.iter_batches(16, rng=np.random.default_rng(2),
+                                     drop_last=True))
+    arrs = _batch_to_device(batch)
+    arrs_b = engine._attach_train_buckets(arrs, batch)
+    assert "bucket_idx_0" in arrs_b  # every 4-sample shard holds 2+2 twins
+
+    key = jax.random.PRNGKey(5)
+    copy = lambda t: jax.tree.map(jnp.copy, t)  # noqa: E731
+    v_ref, _, m_ref = engine._train_step(copy(engine.variables),
+                                         copy(engine.opt_state), arrs, key)
+    v_fast, _, m_fast = engine._train_step_bucketed(
+        copy(engine.variables), copy(engine.opt_state), arrs_b, key)
+    np.testing.assert_allclose(float(jnp.asarray(m_fast["total_loss"]).mean()),
+                               float(jnp.asarray(m_ref["total_loss"]).mean()),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(v_ref["params"]),
+                    jax.tree.leaves(v_fast["params"])):
+        # adam's grad/sqrt(v) rescaling amplifies the fp32 reduction-order
+        # differences between the two shard_map programs (~0.3% worst-case
+        # after one step) — looser than the single-device comparison
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=6e-3)
+
+
 def test_bucketed_joint_training_matches_masked_path(dataset_path):
     """The per-expert bucketed joint train step computes the same loss and
     parameter update as the masked all-experts design (dropout off so the
