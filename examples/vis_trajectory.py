@@ -33,12 +33,24 @@ from pointnav_vo_tpu.vo.dataset import oracle_goal_follower  # noqa: E402
 
 
 def _load_vo(ckpt_path, size):
+    import jax
+
+    from pointnav_vo_tpu.common import VO_EXPERT_ACTIONS
     from pointnav_vo_tpu.io.checkpoint import load_checkpoint
     from pointnav_vo_tpu.vo.ensemble import VOEnsemble, VOInferenceConfig
 
     tree, meta = load_checkpoint(ckpt_path)
     icfg = VOInferenceConfig(vis_size_w=size, vis_size_h=size)
     variables = tree["variables"] if "variables" in tree else tree
+    n_experts = jax.tree.leaves(variables)[0].shape[0]
+    if n_experts != len(VO_EXPERT_ACTIONS):
+        raise SystemExit(
+            f"{ckpt_path} holds {n_experts} stacked expert(s) (a single-stage "
+            f"training checkpoint); dead-reckoning needs the full "
+            f"{len(VO_EXPERT_ACTIONS)}-expert ensemble — finish the 3-stage "
+            "recipe (TRAIN.md) or pass a checkpoint whose VO.TRAIN.action_type "
+            "covered forward+left+right."
+        )
     return VOEnsemble(icfg, variables)
 
 

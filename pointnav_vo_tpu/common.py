@@ -31,6 +31,43 @@ NO_NOISE_DELTAS = {
     TURN_RIGHT: [0.0, 0.0, float(-np.radians(10))],
 }
 
+# -- host-numpy quaternion helpers ([x, y, z, w] layout, batched) -----------
+# Single home for the pose-delta convention shared by dataset generation
+# (vo/dataset.py) and the habitat adapter (rl/envs.py); the jax twins live in
+# ops/geometry.py.
+
+
+def quat_inverse(q: np.ndarray) -> np.ndarray:
+    return q * np.asarray([-1, -1, -1, 1.0]) / np.sum(q * q, -1, keepdims=True)
+
+
+def quat_multiply(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x1, y1, z1, w1 = np.moveaxis(a, -1, 0)
+    x2, y2, z2, w2 = np.moveaxis(b, -1, 0)
+    return np.stack(
+        [
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        ],
+        -1,
+    )
+
+
+def quat_rotate(q: np.ndarray, v: np.ndarray) -> np.ndarray:
+    xyz, w = q[..., :3], q[..., 3:4]
+    t = 2.0 * np.cross(xyz, v)
+    return v + w * t + np.cross(xyz, t)
+
+
+def quat_canonical(q: np.ndarray) -> np.ndarray:
+    """Pick the w>=0 representative of the double cover, so single-step delta
+    yaws land in [-pi, pi] instead of picking up +-2*pi ghosts when the two
+    global rotations straddle hemispheres."""
+    return q * np.where(q[..., 3:4] < 0, -1.0, 1.0)
+
+
 DEFAULT_LOSS_WEIGHTS = {"dx": 1.0, "dz": 1.0, "dyaw": 1.0}
 DEFAULT_DELTA_TYPES = ("dx", "dz", "dyaw")
 DELTA_DIM = 3

@@ -375,11 +375,19 @@ class _BaseRLEngine:
         if cfg.RESUME_TRAIN and os.path.isfile(cfg.RESUME_STATE_FILE):
             # resume from an interrupted/periodic checkpoint
             # (ddppo_trainer.py:323-391 requeue_stats path)
-            tree, meta = load_checkpoint(
-                cfg.RESUME_STATE_FILE,
-                {"params": trainer.params, "opt_state": trainer.opt_state,
-                 "extra_variables": trainer.variables},
-            )
+            try:
+                tree, meta = load_checkpoint(
+                    cfg.RESUME_STATE_FILE,
+                    {"params": trainer.params, "opt_state": trainer.opt_state,
+                     "extra_variables": trainer.variables},
+                )
+            except ValueError:
+                # pre-upgrade state file without extra_variables: restore
+                # params/opt only, keep the fresh whitening buffers
+                tree, meta = load_checkpoint(
+                    cfg.RESUME_STATE_FILE,
+                    {"params": trainer.params, "opt_state": trainer.opt_state},
+                )
             trainer.params = tree["params"]
             trainer.opt_state = tree["opt_state"]
             trainer.variables = dict(tree.get("extra_variables", trainer.variables))

@@ -395,30 +395,13 @@ def env_config_from_task(config, noisy: bool = True, seed: int = 0) -> EnvConfig
     )
 
 
-# -- quaternion helpers (host numpy; [x, y, z, w] layout) --------------------
-
-
-def _quat_inverse(q: np.ndarray) -> np.ndarray:
-    return np.asarray([-q[0], -q[1], -q[2], q[3]], np.float64)
-
-
-def _quat_multiply(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    ax, ay, az, aw = a
-    bx, by, bz, bw = b
-    return np.asarray(
-        [
-            aw * bx + ax * bw + ay * bz - az * by,
-            aw * by - ax * bz + ay * bw + az * bx,
-            aw * bz + ax * by - ay * bx + az * bw,
-            aw * bw - ax * bx - ay * by - az * bz,
-        ],
-        np.float64,
-    )
-
-
-def _quat_rotate(q: np.ndarray, v: np.ndarray) -> np.ndarray:
-    vq = np.asarray([v[0], v[1], v[2], 0.0], np.float64)
-    return _quat_multiply(_quat_multiply(q, vq), _quat_inverse(q))[:3]
+# quaternion helpers: single home in common.py ([x, y, z, w], batched numpy)
+from pointnav_vo_tpu.common import (  # noqa: E402
+    quat_canonical as _quat_canonical,
+    quat_inverse as _quat_inverse,
+    quat_multiply as _quat_multiply,
+    quat_rotate as _quat_rotate,
+)
 
 
 def _as_xyzw(rotation) -> np.ndarray:
@@ -438,9 +421,8 @@ def agent_state_delta(prev_pos, prev_rot, cur_pos, cur_rot) -> np.ndarray:
     q_cur = _as_xyzw(cur_rot)
     dpos = _quat_rotate(_quat_inverse(q_prev),
                         np.asarray(cur_pos, np.float64) - np.asarray(prev_pos, np.float64))
-    dq = _quat_multiply(_quat_inverse(q_prev), q_cur)
-    if dq[3] < 0:  # canonical hemisphere: avoid the 2*pi ghost in dyaw
-        dq = -dq
+    # canonical hemisphere: avoid the 2*pi ghost in dyaw
+    dq = _quat_canonical(_quat_multiply(_quat_inverse(q_prev), q_cur))
     dyaw = 2.0 * np.arctan2(dq[1], dq[3])
     return np.asarray([dpos[0], dpos[2], dyaw], np.float32)
 

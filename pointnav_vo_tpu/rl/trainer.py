@@ -164,27 +164,31 @@ class DDPPOTrainer:
 
     def _build_update(self):
         model, cfg, tx = self.model, self.cfg, self.tx
+        # whitening/batch_stats collections (rgb policies) ride along as
+        # extra variables: frozen during the update (they advance during
+        # rollout collection via act_step_update_stats), but the forward
+        # needs them or flax raises ScopeCollectionNotFound
         if self.mesh is None:
-            def update(params, opt_state, rollouts, rng, clip):
+            def update(params, opt_state, rollouts, rng, clip, extra):
                 return ppo_update(model, cfg, tx, params, opt_state, rollouts, rng,
-                                  clip_param=clip)
+                                  clip_param=clip, extra_variables=extra)
             return jax.jit(update)
 
         mesh = self.mesh
         r_spec = rollout_pspec(self.rollouts)
 
-        def local_update(params, opt_state, rollouts, rng, clip):
+        def local_update(params, opt_state, rollouts, rng, clip, extra):
             rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
             return ppo_update(
                 model, cfg, tx, params, opt_state, rollouts, rng,
-                clip_param=clip, axis_name=DATA_AXIS,
+                clip_param=clip, axis_name=DATA_AXIS, extra_variables=extra,
             )
 
         return jax.jit(
             shard_map(
                 local_update,
                 mesh=mesh,
-                in_specs=(P(), P(), r_spec, P(), P()),
+                in_specs=(P(), P(), r_spec, P(), P(), P()),
                 out_specs=(P(), P(), P()),
                 check_vma=False,
             )
@@ -292,7 +296,8 @@ class DDPPOTrainer:
             # LambdaLR(linear_decay) on the clip parameter (reference train loop)
             clip = clip * max(0.0, 1.0 - self.update_idx / self.total_updates)
         self.params, self.opt_state, stats = self._sharded_update(
-            self.params, self.opt_state, rollouts, up_rng, jnp.asarray(clip)
+            self.params, self.opt_state, rollouts, up_rng, jnp.asarray(clip),
+            self.variables,
         )
         self.rollouts = rollout_lib.after_update(rollouts)
         self.timing["update"] += time.perf_counter() - t0

@@ -43,35 +43,13 @@ CHUNK_SIZE = 256
 # -- numpy quaternion helpers (host-side; [x, y, z, w]) ----------------------
 
 
-def _q_inv(q: np.ndarray) -> np.ndarray:
-    return q * np.asarray([-1, -1, -1, 1.0]) / np.sum(q * q, -1, keepdims=True)
-
-
-def _q_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    x1, y1, z1, w1 = np.moveaxis(a, -1, 0)
-    x2, y2, z2, w2 = np.moveaxis(b, -1, 0)
-    return np.stack(
-        [
-            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
-            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
-            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
-            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
-        ],
-        -1,
-    )
-
-
-def _q_rot(q: np.ndarray, v: np.ndarray) -> np.ndarray:
-    xyz, w = q[..., :3], q[..., 3:4]
-    t = 2.0 * np.cross(xyz, v)
-    return v + w * t + np.cross(xyz, t)
-
-
-def _q_canonical(q: np.ndarray) -> np.ndarray:
-    """Pick the w>=0 representative of the double cover, so single-step delta
-    yaws land in [-pi, pi] instead of picking up +-2*pi ghosts when the two
-    global rotations straddle hemispheres."""
-    return q * np.where(q[..., 3:4] < 0, -1.0, 1.0)
+# quaternion helpers live in common.py (shared with the habitat adapter)
+from pointnav_vo_tpu.common import (  # noqa: E402
+    quat_canonical as _q_canonical,
+    quat_inverse as _q_inv,
+    quat_multiply as _q_mul,
+    quat_rotate as _q_rot,
+)
 
 
 def inverse_delta_from_global(prev_rot, prev_pos, cur_rot, cur_pos) -> np.ndarray:

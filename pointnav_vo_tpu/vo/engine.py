@@ -396,7 +396,11 @@ class VORegressionEngine:
         self.eval_reader = eval_reader
         self.mesh = mesh
         self.log_dir = log_dir
-        self.model = icfg.make_model()
+        # under a mesh, whitening statistics psum over the data axis inside
+        # the shard_map'd train step (DDP all_reduce parity); the module
+        # attribute does not change the parameter tree
+        self.model = icfg.make_model(
+            update_stats_axis=DATA_AXIS if mesh is not None else None)
         self.rng = jax.random.PRNGKey(tcfg.seed)
         # joint-stage bucketed training (see _forward_bucketed_train); under
         # a mesh the buckets hold per-shard local indices
@@ -486,21 +490,32 @@ class VORegressionEngine:
         vo_cnn_engine.py:230-262)."""
         assert self.train_reader is not None
         if not hasattr(self, "_grad_fn"):
-            self._grad_fn = jax.jit(make_grad_fn(self.model, self.icfg, self.tcfg))
-        batch = next(iter(self.train_reader.iter_batches(
-            self.tcfg.batch_size, rng=np.random.default_rng(0), drop_last=True)))
+            # snapshots run outside shard_map: use an axis-free model (same
+            # parameter tree) so the stats psum has an axis to bind to
+            snap_model = (self.model if self.mesh is None
+                          else self.icfg.make_model())
+            self._grad_fn = jax.jit(make_grad_fn(snap_model, self.icfg, self.tcfg))
         self.rng, sub = jax.random.split(self.rng)
         return jax.device_get(self._grad_fn(self.variables,
-                                            _batch_to_device(batch), sub))
+                                            self._snapshot_batch(), sub))
+
+    def _snapshot_batch(self):
+        """One deterministic train batch, fetched once and reused by both
+        grad_snapshot and obs_snapshot (decoding a full HDF5 chunk per
+        snapshot per epoch would double the logging I/O)."""
+        if not hasattr(self, "_snap_arrs"):
+            batch = next(iter(self.train_reader.iter_batches(
+                self.tcfg.batch_size, rng=np.random.default_rng(0),
+                drop_last=True)))
+            self._snap_arrs = _batch_to_device(batch)
+        return self._snap_arrs
 
     def obs_snapshot(self) -> Dict[str, np.ndarray]:
         """First train sample's preprocessed observation channels — feeds the
         per-epoch TB input-image dumps (reference _obs_log_func,
         engine:1364-1423)."""
         assert self.train_reader is not None
-        batch = next(iter(self.train_reader.iter_batches(
-            self.tcfg.batch_size, rng=np.random.default_rng(0), drop_last=True)))
-        arrs = _batch_to_device(batch)
+        arrs = self._snapshot_batch()
         obs = preprocess_obs_pairs(arrs["prev_rgb"], arrs["prev_depth"],
                                    arrs["cur_rgb"], arrs["cur_depth"], self.icfg)
         return {k: np.asarray(v[0]) for k, v in obs.items()}

@@ -70,7 +70,11 @@ class VOInferenceConfig:
             hfov_rad=self.hfov,
         )
 
-    def make_model(self):
+    def make_model(self, update_stats_axis=None):
+        """``update_stats_axis``: mesh axis name for training under
+        shard_map — RunningMeanAndVar whitening statistics psum across it
+        (the reference all_reduces these stats under DDP); inference and
+        single-chip training leave it None."""
         return make_vo_model(
             self.model_name,
             observation_space=self.observation_space,
@@ -81,6 +85,7 @@ class VOInferenceConfig:
             dropout_p=self.dropout_p,
             discretized_depth_channels=self.discretized_depth_channels,
             dtype=self.dtype,
+            update_stats_axis=update_stats_axis,
         )
 
 
@@ -334,12 +339,19 @@ class VOEnsemble:
 
         if self.cfg.mode == "det" and isinstance(actions, np.ndarray):
             batch = int(next(iter(obs_pairs.values())).shape[0])
-            buckets = bucket_expert_indices(actions, batch)
-            return self.predict_bucketed(obs_pairs, buckets)
+            # static occupancy-sorted capacities: the jitted program's
+            # signature set is bounded regardless of the action mix (the
+            # power-of-two variant recompiled per exact mix in live loops)
+            buckets, order = bucket_expert_indices_static(actions, batch)
+            delta = _predict_det_bucketed(
+                self.model, self.cfg, self.variables, obs_pairs, buckets,
+                jnp.asarray(order),
+            )
+            return delta, jnp.zeros_like(delta)
         return _predict(self.model, self.cfg, self.variables, obs_pairs, actions, rng)
 
     def predict_bucketed(self, obs_pairs: Dict[str, jax.Array], bucket_idx: Tuple):
-        """Det fast path over precomputed expert buckets."""
+        """Det fast path over precomputed (per-expert-ordered) buckets."""
         delta = _predict_det_bucketed(
             self.model, self.cfg, self.variables, obs_pairs, bucket_idx
         )

@@ -125,9 +125,11 @@ def test_bucketed_det_path_matches_all_experts():
         np.testing.assert_array_equal(np.asarray(std), 0.0)
         np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                    atol=1e-6, rtol=1e-6)
-        # explicit bucket API agrees too
+        # explicit power-of-two bucket API agrees too (different bucket
+        # layout than predict's static scheme -> fp reduction-order noise)
         fast2, _ = ensemble.predict_bucketed(obs, bucket_expert_indices(actions, b))
-        np.testing.assert_array_equal(np.asarray(fast2), np.asarray(fast))
+        np.testing.assert_allclose(np.asarray(fast2), np.asarray(fast),
+                                   atol=1e-6, rtol=1e-6)
 
 
 def test_bucketed_bf16_selection_is_exact():
