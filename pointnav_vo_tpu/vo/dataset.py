@@ -428,7 +428,10 @@ def generate_dataset(
             grp = f.create_group(f"chunk_{chunk_cnt}")
             cols = {k: np.stack([b[k] for b in buf]) for k in buf[0]}
             for k, v in cols.items():
-                grp.create_dataset(k, data=v)
+                # images LZF-compressed like the reference
+                # (generate_datasets.py:238-252); scalars stored raw
+                comp = "lzf" if k.endswith(("rgbs", "depths")) else None
+                grp.create_dataset(k, data=v, compression=comp)
             chunk_cnt += 1
             buf = []
 
