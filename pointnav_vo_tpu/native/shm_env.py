@@ -172,18 +172,38 @@ class ShmVectorEnv:
 
     def reset(self) -> Dict[str, np.ndarray]:
         assert self._first, "shm workers auto-reset; call reset() once"
-        for i, ring in enumerate(self._obs_rings):
-            ring.pop_into(self._payload[i])
+        try:
+            for i, ring in enumerate(self._obs_rings):
+                # first pop waits out worker construction (habitat scene
+                # loads can take minutes)
+                ring.pop_into(self._payload[i], timeout_ms=600000)
+        except TimeoutError as e:
+            self._check_workers(e)
         self._first = False
         obs, _, _, _ = self._decode()
         return obs
+
+    def _check_workers(self, cause: Exception) -> None:
+        """Turn a ring timeout into a diagnosable worker-death report."""
+        dead = [(i, p.exitcode) for i, p in enumerate(self._procs)
+                if not p.is_alive()]
+        if dead:
+            raise RuntimeError(
+                f"shm env worker(s) died: {dead} (index, exitcode) — see the "
+                "worker process stderr; a habitat worker typically dies on "
+                "scene-load errors or missing datasets"
+            ) from cause
+        raise cause
 
     def step(self, actions: Sequence[int]):
         for ring, a in zip(self._act_rings, actions):
             self._act[0] = float(a)
             ring.push(self._act)
-        for i, ring in enumerate(self._obs_rings):
-            ring.pop_into(self._payload[i])
+        try:
+            for i, ring in enumerate(self._obs_rings):
+                ring.pop_into(self._payload[i])
+        except TimeoutError as e:
+            self._check_workers(e)
         out = self._decode()
         for i, done in enumerate(out[2]):
             if done:

@@ -31,6 +31,24 @@ def test_ring_roundtrip_and_order():
         ring.close()
 
 
+def test_shm_worker_death_is_reported():
+    """A dead worker surfaces as a diagnosable RuntimeError (with index and
+    exitcode), not a bare 10 s ring timeout."""
+    from pointnav_vo_tpu.native.shm_env import ShmVectorEnv
+
+    cfg = EnvConfig(image_h=4, image_w=4, max_episode_steps=10)
+    shm = ShmVectorEnv(cfg, num_envs=2, seed=1)
+    try:
+        shm.reset()
+        shm._procs[1].kill()  # SIGKILL: immune to scheduling lag under load
+        shm._procs[1].join(timeout=30)
+        assert not shm._procs[1].is_alive()
+        with pytest.raises(RuntimeError, match=r"worker\(s\) died.*\(1,"):
+            shm.step([1, 1])
+    finally:
+        shm.close()
+
+
 def test_shm_vector_env_matches_inprocess():
     """Same seeds + same actions -> shm-process env == in-process env."""
     from pointnav_vo_tpu.native.shm_env import ShmVectorEnv
