@@ -389,9 +389,12 @@ class VOEnsemble:
                                jnp.asarray(order))
 
 
-@functools.partial(jax.jit, static_argnames=("model", "cfg"))
+@functools.partial(jax.jit, static_argnames=("model", "cfg"),
+                   donate_argnames=("prev_feats",))
 def _vo_step_cached(model, cfg, variables, prev_feats, cur_rgb, cur_depth,
                     bucket_idx, expert_ids):
+    # prev_feats is donated: the caller always replaces its cache with the
+    # returned cur_feats (same shapes/dtypes), so XLA reuses the buffers
     cur_feats = frame_features(cur_rgb, cur_depth, cfg)
     obs = pair_from_features(prev_feats, cur_feats)
     delta = _predict_det_bucketed(model, cfg, variables, obs, bucket_idx,
