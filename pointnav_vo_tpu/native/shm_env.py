@@ -172,13 +172,22 @@ class ShmVectorEnv:
 
     def reset(self) -> Dict[str, np.ndarray]:
         assert self._first, "shm workers auto-reset; call reset() once"
-        try:
-            for i, ring in enumerate(self._obs_rings):
-                # first pop waits out worker construction (habitat scene
-                # loads can take minutes)
-                ring.pop_into(self._payload[i], timeout_ms=600000)
-        except TimeoutError as e:
-            self._check_workers(e)
+        # Worker construction can take minutes (habitat scene loads), but a
+        # worker that DIES during startup must surface in seconds — poll in
+        # short slices and check process liveness between them.
+        for i, ring in enumerate(self._obs_rings):
+            deadline = 600.0
+            while True:
+                try:
+                    ring.pop_into(self._payload[i], timeout_ms=5000)
+                    break
+                except TimeoutError as e:
+                    deadline -= 5.0
+                    if deadline <= 0:
+                        self._check_workers(e)
+                        raise
+                    if not self._procs[i].is_alive():
+                        self._check_workers(e)
         self._first = False
         obs, _, _, _ = self._decode()
         return obs

@@ -490,8 +490,9 @@ class VORegressionEngine:
         vo_cnn_engine.py:230-262)."""
         assert self.train_reader is not None
         if not hasattr(self, "_grad_fn"):
-            # snapshots run outside shard_map: use an axis-free model (same
-            # parameter tree) so the stats psum has an axis to bind to
+            # snapshots run under plain jit, NOT shard_map: the mesh model's
+            # RunningMeanAndVar would emit a psum over an unbound axis, so
+            # use an axis-FREE twin (identical parameter tree)
             snap_model = (self.model if self.mesh is None
                           else self.icfg.make_model())
             self._grad_fn = jax.jit(make_grad_fn(snap_model, self.icfg, self.tcfg))
@@ -502,13 +503,14 @@ class VORegressionEngine:
     def _snapshot_batch(self):
         """One deterministic train batch, fetched once and reused by both
         grad_snapshot and obs_snapshot (decoding a full HDF5 chunk per
-        snapshot per epoch would double the logging I/O)."""
-        if not hasattr(self, "_snap_arrs"):
-            batch = next(iter(self.train_reader.iter_batches(
+        snapshot per epoch would double the logging I/O).  Cached on the
+        HOST — a device-resident cache would pin ~0.5 GB of HBM for a
+        once-per-epoch TB log; the transfer on use is cheap."""
+        if not hasattr(self, "_snap_batch"):
+            self._snap_batch = next(iter(self.train_reader.iter_batches(
                 self.tcfg.batch_size, rng=np.random.default_rng(0),
                 drop_last=True)))
-            self._snap_arrs = _batch_to_device(batch)
-        return self._snap_arrs
+        return _batch_to_device(self._snap_batch)
 
     def obs_snapshot(self) -> Dict[str, np.ndarray]:
         """First train sample's preprocessed observation channels — feeds the

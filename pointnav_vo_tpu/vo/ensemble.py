@@ -156,46 +156,6 @@ def preprocess_obs_pairs(
                               frame_features(cur_rgb, cur_depth, cfg))
 
 
-def _bucket_capacity(n: int, batch: int) -> int:
-    """Round a bucket occupancy up to the power-of-two grid (bounded by the
-    batch size) so the jitted bucketed program specializes on a handful of
-    static shapes instead of one per occupancy."""
-    if n == 0:
-        return 0
-    c = 1
-    while c < n:
-        c <<= 1
-    return min(c, batch)
-
-
-def bucket_expert_indices(actions_np, batch: int) -> Tuple:
-    """Host-side per-expert sample buckets for the det fast path.
-
-    Returns one int32 index array per expert, length = padded capacity.
-    Padding entries hold ``batch`` — the gather clips them to a valid row and
-    the scatter routes them to a dropped overflow row, so per-sample outputs
-    are exactly those of the all-experts path (VERDICT r1 item 4: each sample
-    runs only its own expert; total FLOPs ~= sum of rounded bucket sizes
-    instead of n_experts * batch).
-
-    NOTE: capacities depend on the batch's action mix, so the jitted
-    consumer recompiles per capacity signature — fine for a fixed benchmark
-    mix, pathological in a live eval loop.  The loop paths use
-    :func:`bucket_expert_indices_static` instead."""
-    import numpy as np
-
-    acts = np.asarray(actions_np).astype(np.int32).reshape(-1)
-    expert_idx = np.clip(acts - 1, 0, len(VO_EXPERT_ACTIONS) - 1)
-    out = []
-    for e in range(len(VO_EXPERT_ACTIONS)):
-        pos = np.nonzero(expert_idx == e)[0].astype(np.int32)
-        cap = _bucket_capacity(len(pos), batch)
-        idx = np.full(cap, batch, np.int32)
-        idx[: len(pos)] = pos
-        out.append(idx)
-    return tuple(out)
-
-
 def bucket_expert_indices_static(actions_np, batch: int) -> Tuple:
     """Expert buckets with a small, bounded set of compile signatures.
 
@@ -260,9 +220,8 @@ def _predict_det_bucketed(model, cfg, variables, obs_pairs, bucket_idx,
     ``bucket_idx``: per-bucket index arrays (capacities are static via the
     array shapes). Skipping an empty bucket is Python control flow on a
     static shape — legal under jit.  Without ``expert_ids`` bucket j runs
-    expert j (:func:`bucket_expert_indices`); with it, bucket j runs the
-    traced ``expert_ids[j]`` (:func:`bucket_expert_indices_static`'s
-    occupancy-sorted assignment)."""
+    expert j; with it, bucket j runs the traced ``expert_ids[j]``
+    (:func:`bucket_expert_indices_static`'s occupancy-sorted assignment)."""
     batch = next(iter(obs_pairs.values())).shape[0]
     out = jnp.zeros((batch + 1, 3), jnp.float32)
     for j, idx in enumerate(bucket_idx):
@@ -349,13 +308,6 @@ class VOEnsemble:
             )
             return delta, jnp.zeros_like(delta)
         return _predict(self.model, self.cfg, self.variables, obs_pairs, actions, rng)
-
-    def predict_bucketed(self, obs_pairs: Dict[str, jax.Array], bucket_idx: Tuple):
-        """Det fast path over precomputed (per-expert-ordered) buckets."""
-        delta = _predict_det_bucketed(
-            self.model, self.cfg, self.variables, obs_pairs, bucket_idx
-        )
-        return delta, jnp.zeros_like(delta)
 
     def compute_local_delta_states_from_vo(
         self, prev_rgb, prev_depth, cur_rgb, cur_depth, actions, rng=None

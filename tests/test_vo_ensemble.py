@@ -108,8 +108,6 @@ def test_rnd_mode_dropout_ensemble():
 def test_bucketed_det_path_matches_all_experts():
     """Each sample running only its own expert (static buckets) is equal to
     the all-experts + gather program — including skewed and empty buckets."""
-    from pointnav_vo_tpu.vo.ensemble import bucket_expert_indices
-
     ensemble, _, _ = _make_ensemble()
     cases = [
         np.array([1, 3, 2, 1, 1, 2, 3, 1], np.int32),  # mixed
@@ -124,11 +122,6 @@ def test_bucketed_det_path_matches_all_experts():
         fast, std = ensemble.predict(obs, actions)  # numpy actions -> buckets
         np.testing.assert_array_equal(np.asarray(std), 0.0)
         np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
-                                   atol=1e-6, rtol=1e-6)
-        # explicit power-of-two bucket API agrees too (different bucket
-        # layout than predict's static scheme -> fp reduction-order noise)
-        fast2, _ = ensemble.predict_bucketed(obs, bucket_expert_indices(actions, b))
-        np.testing.assert_allclose(np.asarray(fast2), np.asarray(fast),
                                    atol=1e-6, rtol=1e-6)
 
 
@@ -191,13 +184,15 @@ def test_static_buckets_match_all_experts_with_bounded_signatures():
                                    atol=1e-6, rtol=1e-6)
 
 
-def test_bucket_capacities_are_power_of_two_grid():
-    from pointnav_vo_tpu.vo.ensemble import bucket_expert_indices
+def test_static_bucket_layout():
+    from pointnav_vo_tpu.vo.ensemble import bucket_expert_indices_static
 
-    idx = bucket_expert_indices(np.array([1] * 5 + [2] * 3, np.int32), 8)
-    assert [len(i) for i in idx] == [8, 4, 0]  # 5->8, 3->4, 0->0
+    idx, order = bucket_expert_indices_static(
+        np.array([1] * 5 + [2] * 3, np.int32), 8)
+    assert [len(i) for i in idx] == [6, 4, 0]  # 5->6, 3->4, 0->0 (quantum 2)
+    assert list(order) == [0, 1, 2]  # occupancy-sorted expert assignment
     assert list(idx[0][:5]) == [0, 1, 2, 3, 4]
-    assert all(v == 8 for v in idx[0][5:])  # pad = batch (dropped row)
+    assert idx[0][5] == 8  # pad = batch (dropped row)
 
 
 def test_full_api_fused():
