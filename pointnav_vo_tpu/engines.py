@@ -187,13 +187,24 @@ class VOGeoInvarianceEngine:
             log_grad=vo.TRAIN.get("log_grad", False),
         )
 
-        def reader(path):
+        def reader(path, shard_by_process=False):
             if not path:
                 return None
+            # multi-host training shards the dataset at chunk granularity
+            # across processes (the analogue of the reference's per-worker
+            # chunk sharding, regression_geo_invariance_iter_dataset.py:
+            # 143-151); eval stays unsharded — evaluate() aggregates on the
+            # host with no cross-host reduction, so every host must see the
+            # full eval set for identical metrics
+            shard_index, num_shards = 0, 1
+            if shard_by_process:
+                shard_index = jax.process_index()
+                num_shards = jax.process_count()
             return FramePairReader(
                 path, vo.VIS_SIZE_W, vo.VIS_SIZE_H,
                 act_type=act_type, geo_invariance_types=geo_types,
                 partial_data_n_splits=vo.DATASET.PARTIAL_DATA_N_SPLITS,
+                shard_index=shard_index, num_shards=num_shards,
             )
 
         train_path = vo.DATASET.get("TRAIN_WITH_NOISE") or vo.DATASET.get("TRAIN")
@@ -207,7 +218,8 @@ class VOGeoInvarianceEngine:
             ]
         self.engine = VORegressionEngine(
             self.icfg, self.tcfg,
-            train_reader=reader(train_path) if run_type == "train" else None,
+            train_reader=(reader(train_path, shard_by_process=True)
+                          if run_type == "train" else None),
             eval_reader=reader(eval_path),
             mesh=mesh,
             log_dir=config.get("LOG_DIR"),
@@ -298,10 +310,29 @@ class VOGeoInvarianceEngine:
 # ---------------------------------------------------------------------------
 
 
+def _build_classical_vo_fn(config: Config):
+    """vo_fn for ``VO.VO_TYPE: CLASSICAL`` — the paper's non-learned
+    baseline as a first-class backend (the reference ships only the
+    geometry, geometry_utils.py:831-865, and raises NotImplementedError at
+    dispatch, base_trainer_with_vo.py:311-313)."""
+    from pointnav_vo_tpu.vo.classical import make_classical_vo_fn
+
+    sim = config.TASK_CONFIG.SIMULATOR
+    return make_classical_vo_fn(
+        hfov_deg=sim.DEPTH_SENSOR.HFOV,
+        min_depth=sim.DEPTH_SENSOR.MIN_DEPTH,
+        max_depth=sim.DEPTH_SENSOR.MAX_DEPTH,
+        forward_step=sim.get("FORWARD_STEP_SIZE", 0.25),
+        turn_angle_deg=sim.TURN_ANGLE,
+    )
+
+
 def _build_vo_ensemble(config: Config) -> Optional[VOEnsemble]:
     vo = config.VO
     if not vo.get("USE_VO_MODEL", False):
         return None
+    if vo.get("VO_TYPE", "REGRESS") != "REGRESS":
+        return None  # classical backend rides the vo_fn hook instead
     icfg = vo_inference_config_from(config, vo.REGRESS_MODEL)
     node = vo.REGRESS_MODEL
     if node.pretrained and node.all_pretrained_ckpt:
@@ -514,8 +545,13 @@ class _BaseRLEngine:
             )
 
         vo = _build_vo_ensemble(cfg)
+        vo_fn = None
+        if (cfg.VO.get("USE_VO_MODEL", False)
+                and cfg.VO.get("VO_TYPE", "REGRESS") == "CLASSICAL"):
+            vo_fn = _build_classical_vo_fn(cfg)
         evaluator = Evaluator(
             model=self.model, variables=variables, envs=envs, vo_ensemble=vo,
+            vo_fn=vo_fn,
             deterministic=True, rng=jax.random.PRNGKey(cfg.SEED),
             mesh=self.mesh,
         )
@@ -535,6 +571,17 @@ class _BaseRLEngine:
         metrics["wall_clock_s"] = time.perf_counter() - t0
         save_info_dict({k: [v] for k, v in metrics.items()},
                        os.path.join(cfg.INFO_DIR, "eval_infos.p"))
+        # per-episode result list next to the aggregates — the reference
+        # persists current_episode_result as {ckpt}.infos.p per checkpoint
+        # (base_trainer.py:139-148), the raw material for ranked
+        # post-processing and offline analysis
+        import dataclasses as _dc
+
+        per_episode = [_dc.asdict(r) for r in evaluator.results]
+        stem = (os.path.splitext(os.path.basename(ckpt_path))[0]
+                if ckpt_path else "eval")
+        with open(os.path.join(cfg.INFO_DIR, f"{stem}.infos.p"), "wb") as f:
+            pickle.dump(per_episode, f)
         self.logger.info(f"eval: {metrics}")
         return metrics
 

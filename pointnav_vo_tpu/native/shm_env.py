@@ -29,8 +29,11 @@ import numpy as np
 from pointnav_vo_tpu.native import ShmRing
 from pointnav_vo_tpu.rl.envs import EnvConfig
 
-_N_META = 16  # pointgoal 2 + reward, done, success, spl, softspl, dist,
-# collisions + gt_delta 3 + agent_pos_episodic 3 + agent_yaw
+_N_META = 22  # pointgoal 2 + reward, done, success, spl, softspl, dist,
+# collisions + gt_delta 3 + agent_pos_episodic 3 + agent_yaw + agent_pos 3
+# + goal_world 3 (world pose + goal feed the drift diagnostics and the
+# top-down-map video overlay — without them the shm backend silently lost
+# both)
 
 
 def _payload_floats(cfg: EnvConfig) -> int:
@@ -53,6 +56,8 @@ def _encode(buf: np.ndarray, cfg: EnvConfig, obs, reward, done, info) -> None:
     m[9:12] = info.get("gt_delta", np.zeros(3, np.float32))
     m[12:15] = info.get("agent_pos_episodic", np.zeros(3, np.float32))
     m[15] = info.get("agent_yaw", 0.0)
+    m[16:19] = info.get("agent_pos", np.zeros(3, np.float32))
+    m[19:22] = info.get("goal_world", np.zeros(3, np.float32))
 
 
 def resolve_env_factory(spec: str):
@@ -165,6 +170,8 @@ class ShmVectorEnv:
                 "gt_delta": m[i, 9:12].copy(),
                 "agent_pos_episodic": m[i, 12:15].copy(),
                 "agent_yaw": float(m[i, 15]),
+                "agent_pos": m[i, 16:19].copy(),
+                "goal_world": m[i, 19:22].copy(),
             }
             for i in range(self.num_envs)
         ]

@@ -27,6 +27,36 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def slurm_first_host(nodelist: str) -> str:
+    """First hostname of a (possibly compressed) SLURM nodelist.
+
+    SLURM compresses allocations as ``nid[001-004]`` or
+    ``gpu[1,3-5]-rack,cpu7``; the coordinator must be the first *expanded*
+    host (``nid001``), not the literal prefix (``nid``).  The reference
+    shells out to ``scontrol show hostnames`` for this (ddp_utils.py:117-161);
+    here the bracket grammar is expanded directly — commas inside brackets
+    are range separators, outside they separate hosts."""
+    import re
+
+    depth = 0
+    first = []
+    for ch in nodelist:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            break
+        first.append(ch)
+
+    def expand(m):
+        # first element of the bracket list; a range "001-004" keeps its
+        # zero-padded lower bound
+        return m.group(1).split(",")[0].split("-")[0]
+
+    return re.sub(r"\[([^\]]*)\]", expand, "".join(first))
+
+
 def init_distributed() -> None:
     """Multi-host rendezvous (the init_distrib_slurm analogue,
     ddp_utils.py:117-161): coordinator/rank/world-size from SLURM_* or
@@ -39,7 +69,7 @@ def init_distributed() -> None:
     coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coordinator is None:
         nodelist = os.environ.get("SLURM_STEP_NODELIST", "localhost")
-        coordinator = nodelist.split(",")[0].split("[")[0] + ":8476"
+        coordinator = slurm_first_host(nodelist) + ":8476"
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=int(os.environ.get("SLURM_NTASKS", 1)),

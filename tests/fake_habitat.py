@@ -57,9 +57,36 @@ def make_dataset(dataset_type, config=None):
     return _Dataset(ALL_SCENES)
 
 
+# Contract-test knob: model a habitat build whose config schema REJECTS
+# unknown keys (yacs new_allowed=False) and ships WITHOUT the Challenge
+# noise nodes — the adapter must then refuse to run rather than silently
+# evaluate noise-free (rl/envs.py NOISE_CRITICAL_KEYS tripwire).
+STRICT_NO_NOISE = False
+
+
 def get_config(config_paths=None, opts=None):
     c = get_task_config()
     c.DATASET.CONTENT_SCENES = ["*"]
+    if STRICT_NO_NOISE:
+        from pointnav_vo_tpu.utils.config import Config
+
+        d = c.to_dict()
+        sim = d["SIMULATOR"]
+        sim.pop("NOISE_MODEL", None)
+        sim.pop("ACTION_SPACE_CONFIG", None)
+        sim["RGB_SENSOR"].pop("NOISE_MODEL", None)
+        sim["RGB_SENSOR"].pop("NOISE_MODEL_KWARGS", None)
+        sim["DEPTH_SENSOR"].pop("NOISE_MODEL", None)
+        strict = Config(d)
+
+        def lock(node):  # reject unknown keys from here on
+            object.__setattr__(node, "_new_allowed", False)
+            for v in node.values():
+                if isinstance(v, Config):
+                    lock(v)
+
+        lock(strict)
+        return strict
     return c
 
 

@@ -61,3 +61,24 @@ def test_rl_engine_checkpoint_sweep(tmp_path):
     main(["--task-type", "rl", "--run-type", "eval", "--log-root", log_root,
           "--noise", "0", "EVAL.EVAL_CKPT_PATH", ckpt_dir,
           "EVAL.TEST_EPISODE_COUNT", "2"] + overrides)
+
+
+def test_per_episode_results_and_steps():
+    """EpisodeResult.steps is the episode's OWN length (VERDICT r2 weak #5)
+    and per-episode VO means are finite; Evaluator.results exposes the raw
+    list for the {ckpt}.infos.p dump."""
+    envs = make_scripted_vector_env(ENV_CFG, num_envs=1, seed=4)
+    model = GreedyGoalPolicy(turn_angle_deg=ENV_CFG.turn_angle_deg,
+                             success_distance=ENV_CFG.success_distance)
+    ev = Evaluator(model=model, variables={"params": {}}, envs=envs,
+                   vo_fn=_gt_vo_fn)
+    agg = ev.run(num_episodes=3)
+    assert len(ev.results) == 3
+    lengths = [r.steps for r in ev.results]
+    assert all(0 < s <= ENV_CFG.max_episode_steps for s in lengths)
+    # single env, every episode recorded: lengths partition the step count
+    assert sum(lengths) == int(agg["total_env_steps"])
+    # per-episode VO diagnostics populated (gt oracle -> ~0 error)
+    for r in ev.results:
+        if r.steps > 1:
+            assert np.isfinite(r.vo_l2_mean) and r.vo_l2_mean < 1e-4

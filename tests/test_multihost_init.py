@@ -36,8 +36,83 @@ def test_slurm_rendezvous(monkeypatch, captured_init):
     kw = captured_init[0]
     assert kw["num_processes"] == 4
     assert kw["process_id"] == 2
-    # coordinator = first node of the nodelist, default port
-    assert kw["coordinator_address"] == "node:8476"
+    # coordinator = first EXPANDED node of the compressed nodelist (VERDICT
+    # r2 weak #1: the bare prefix "node" is not a resolvable hostname)
+    assert kw["coordinator_address"] == "node0:8476"
+
+
+@pytest.mark.parametrize("nodelist,first", [
+    ("nid001", "nid001"),                       # plain single host
+    ("nid[001-004]", "nid001"),                 # compressed range, zero-pad
+    ("nid[001,005-008]", "nid001"),             # list inside brackets
+    ("gpu[1,3-5]-rack,cpu7", "gpu1-rack"),      # suffix after brackets
+    ("a1,b[2-3]", "a1"),                        # plain first, compressed later
+    ("c[10]d[2-4]", "c10d2"),                   # two bracket groups
+])
+def test_slurm_first_host_expansion(nodelist, first):
+    assert pm.slurm_first_host(nodelist) == first
+
+
+def _write_chunked_pairs(path, n_chunks, entries_per_chunk, h=4, w=4, seed=0):
+    import h5py
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    with h5py.File(path, "w") as f:
+        for c in range(n_chunks):
+            n = entries_per_chunk
+            g = f.create_group(f"chunk_{c}")
+            g.create_dataset("actions",
+                             data=rng.integers(1, 4, n).astype(np.uint8))
+            for key in ("prev_rgbs", "cur_rgbs"):
+                g.create_dataset(key, data=rng.integers(
+                    0, 256, n * h * w * 3, dtype=np.uint8))
+            for key in ("prev_depths", "cur_depths"):
+                g.create_dataset(
+                    key, data=rng.random(n * h * w).astype(np.float16))
+            yaw = rng.normal(0, 0.2, n)
+            quat = np.stack([np.zeros(n), np.sin(yaw / 2),
+                             np.zeros(n), np.cos(yaw / 2)], -1)
+            g.create_dataset("delta_rotations", data=quat.astype(np.float32))
+            g.create_dataset("delta_positions",
+                             data=rng.normal(0, 0.05, (n, 3)).astype(np.float32))
+            for key in ("prev_global_positions", "cur_global_positions"):
+                g.create_dataset(key, data=rng.normal(0, 1, (n, 3)))
+            for key in ("prev_global_rotations", "cur_global_rotations"):
+                gy = rng.normal(0, 1.0, n)
+                g.create_dataset(key, data=np.stack(
+                    [np.zeros(n), np.sin(gy / 2),
+                     np.zeros(n), np.cos(gy / 2)], -1))
+
+
+def test_reader_process_sharding(tmp_path):
+    """2-process chunk sharding partitions the dataset: disjoint + exhaustive
+    (the analogue of the reference's per-worker chunk sharding,
+    regression_geo_invariance_iter_dataset.py:143-151)."""
+    from pointnav_vo_tpu.vo.dataset import FramePairReader
+
+    path = str(tmp_path / "pairs.h5")
+    _write_chunked_pairs(path, n_chunks=5, entries_per_chunk=6)
+
+    def chunk_keys(reader):
+        return {key for _, key in reader.chunks}
+
+    full = FramePairReader(path, 4, 4)
+    shards = [FramePairReader(path, 4, 4, shard_index=i, num_shards=2)
+              for i in range(2)]
+    assert chunk_keys(shards[0]) & chunk_keys(shards[1]) == set()
+    assert chunk_keys(shards[0]) | chunk_keys(shards[1]) == chunk_keys(full)
+    assert all(len(chunk_keys(s)) >= 2 for s in shards)
+    assert sum(s.num_samples() for s in shards) == full.num_samples() == 30
+    # every sample lands on exactly one shard (chunk_idx is local to each
+    # shard's chunk list; re-key by the global chunk name)
+    ids = []
+    for s in shards:
+        for b in s.iter_batches(4):
+            ids.extend((s.chunks[ci][1], int(ei), int(dt))
+                       for ci, ei, dt in zip(b.chunk_idx, b.entry_idx,
+                                             b.data_types))
+    assert len(ids) == len(set(ids)) == full.num_samples()
 
 
 def test_explicit_coordinator_env(monkeypatch, captured_init):

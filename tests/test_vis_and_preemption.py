@@ -63,3 +63,35 @@ def test_preemption_flags_and_state(tmp_path, monkeypatch):
     np.testing.assert_array_equal(tree["x"], np.ones(3))
     assert meta["update"] == 7
     preemption.reset_for_tests()
+
+
+def test_trajectory_map_renderer_and_compose():
+    """Top-down map overlay: fog of war accumulates, path/goal/agent drawn,
+    composed frame is [rgb | map] at rgb height (reference eval-video
+    layout, misc_utils.py:199-238)."""
+    import numpy as np
+
+    from pointnav_vo_tpu.vis.maps import (
+        AGENT_COLOR,
+        GOAL_COLOR,
+        TrajectoryMapRenderer,
+        compose_map_frame,
+    )
+
+    r = TrajectoryMapRenderer(start=[0.0, 0.0, 0.0], goal=[2.0, 0.0, 2.0],
+                              size=128)
+    fog0 = r.fog.sum()
+    assert fog0 == 0
+    for i in range(8):
+        r.add([0.25 * i, 0.0, 0.25 * i], yaw=0.3)
+    img = r.render()
+    assert img.shape == (128, 128, 3)
+    assert r.fog.sum() > 0  # fog revealed along the path
+    # goal disk and agent triangle present
+    assert (img == np.array(GOAL_COLOR, np.uint8)).all(-1).any()
+    assert (img == np.array(AGENT_COLOR, np.uint8)).all(-1).any()
+
+    rgb = np.zeros((32, 48, 3), np.uint8)
+    frame = compose_map_frame(rgb, img)
+    assert frame.shape == (32, 48 + 2 + 32, 3)
+    assert frame.dtype == np.uint8
