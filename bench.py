@@ -20,6 +20,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -27,9 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_PAIRS_PER_SEC = 40.0
-BATCH = 512
+BATCH = int(os.environ.get("BENCH_BATCH", 512))
 WARMUP = 2
-ITERS = 16
+ITERS = int(os.environ.get("BENCH_ITERS", 16))
 
 
 def main() -> None:
@@ -98,7 +99,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "vo_frame_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 2),
-        "unit": "frame-pairs/s (batch 512, 341x192 rgb-d-dd-topdown, bf16, "
+        "unit": f"frame-pairs/s (batch {BATCH}, 341x192 rgb-d-dd-topdown, bf16, "
                 "70%-forward action mix; steady-state eval steps: new-frame "
                 "preprocess + cached prev features + per-sample expert "
                 "buckets, dispatch-overlapped chain, one host read per 16 "

@@ -83,8 +83,19 @@ class VOEncoder(nn.Module):
         return (ch, fh, fw)
 
     @nn.compact
-    def __call__(self, obs_pairs: Dict[str, jax.Array], update_stats: bool = False,
+    def __call__(self, obs_pairs, update_stats: bool = False,
                  stats_mask=None):
+        if not isinstance(obs_pairs, dict):
+            # packed stem input [B, H, W, input_channels]: already in stem
+            # order (prev blocks then cur blocks, rgb pre-scaled 1/255 — see
+            # ensemble.frame_features_packed).  Equal to the dict path to
+            # 1 ulp; lets the det bucketed eval path ship one selected array
+            # straight in, with no per-key dict assembly.
+            x = obs_pairs.astype(self.dtype)
+            assert x.shape[-1] == self.input_channels, (
+                f"packed stem input has {x.shape[-1]} channels, "
+                f"expected {self.input_channels}")
+            return self._head(x, update_stats, stats_mask)
         prev_parts, cur_parts = [], []
         if "rgb" in self.observation_space:
             p, c = _pair_split(obs_pairs["rgb"].astype(self.dtype) / 255.0)
@@ -103,7 +114,9 @@ class VOEncoder(nn.Module):
             prev_parts.append(p)
             cur_parts.append(c)
         x = jnp.concatenate(prev_parts + cur_parts, axis=-1)
+        return self._head(x, update_stats, stats_mask)
 
+    def _head(self, x: jax.Array, update_stats: bool, stats_mask):
         if self.normalize_visual_inputs:
             x = RunningMeanAndVar(
                 self.input_channels, axis_name=self.update_stats_axis,

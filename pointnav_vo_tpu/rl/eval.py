@@ -100,13 +100,23 @@ def fused_vo_act_step(
         _predict,
         _predict_det_bucketed_sharded,
         frame_features,
+        frame_features_packed,
+        pack_frame_features,
         pair_from_features,
     )
 
+    # det+buckets works on the PACKED stem block (one one-hot einsum per
+    # bucket instead of four; the encoder consumes it directly) — the rnd /
+    # all-experts path keeps the per-key dict
+    packed_mode = vo_cfg.mode == "det" and bucket_idx is not None
+    make_feats = frame_features_packed if packed_mode else frame_features
     if prev_feats is None:
-        prev_feats = frame_features(prev_rgb, prev_depth, vo_cfg)
-    cur_feats = frame_features(cur_rgb, cur_depth, vo_cfg)
-    obs_pairs = pair_from_features(prev_feats, cur_feats)
+        prev_feats = make_feats(prev_rgb, prev_depth, vo_cfg)
+    elif packed_mode and isinstance(prev_feats, dict):
+        prev_feats = pack_frame_features(prev_feats, vo_cfg)
+    cur_feats = make_feats(cur_rgb, cur_depth, vo_cfg)
+    obs_pairs = (jnp.concatenate([prev_feats, cur_feats], axis=-1)
+                 if packed_mode else pair_from_features(prev_feats, cur_feats))
     if vo_cfg.mode == "det" and bucket_idx is not None:
         if mesh is not None:
             # per-shard local buckets under the mesh: each device runs only
@@ -297,11 +307,16 @@ class Evaluator:
             # features are computed exactly once and carried to the next
             # step (envs auto-reset, so the cache stays valid across
             # episode boundaries: cur_feats always match the obs returned
-            # by envs.step)
-            from pointnav_vo_tpu.vo.ensemble import frame_features
+            # by envs.step).  det mode carries the PACKED stem block.
+            from pointnav_vo_tpu.vo.ensemble import (
+                frame_features,
+                frame_features_packed,
+            )
 
-            feats_cache = frame_features(obs_dev["rgb"], obs_dev["depth"],
-                                         self.vo.cfg)
+            make_feats = (frame_features_packed if self.vo.cfg.mode == "det"
+                          else frame_features)
+            feats_cache = make_feats(obs_dev["rgb"], obs_dev["depth"],
+                                     self.vo.cfg)
 
         while len(results) < num_episodes:
             if not fused:

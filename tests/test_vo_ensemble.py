@@ -211,3 +211,90 @@ def test_full_api_fused():
     assert delta.shape == (b, 3)
     assert extra["ego_top_down_view"].shape == (b, 48, 64, 2)
     assert np.all(np.isfinite(np.asarray(delta)))
+
+
+def test_packed_stem_input_matches_dict_path():
+    """The packed stem block (frame_features_packed pairs) fed straight to
+    the encoder matches the per-key dict path to 1 ulp (same elementwise
+    ops and concat order — vo_cnn.py:88-106; XLA may strength-reduce the
+    /255 to a reciprocal multiply differently across programs), fp32."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from pointnav_vo_tpu.vo.ensemble import (
+        VOInferenceConfig,
+        frame_features_packed,
+        preprocess_obs_pairs,
+    )
+    from _utils import fast_init
+
+    cfg = VOInferenceConfig(vis_size_w=32, vis_size_h=32)
+    model = cfg.make_model()
+    rng = np.random.default_rng(0)
+    b = 4
+    prev_rgb = jnp.asarray(rng.uniform(0, 255, (b, 32, 32, 3)), jnp.float32)
+    cur_rgb = jnp.asarray(rng.uniform(0, 255, (b, 32, 32, 3)), jnp.float32)
+    prev_d = jnp.asarray(rng.uniform(0, 1, (b, 32, 32, 1)), jnp.float32)
+    cur_d = jnp.asarray(rng.uniform(0, 1, (b, 32, 32, 1)), jnp.float32)
+
+    obs = preprocess_obs_pairs(prev_rgb, prev_d, cur_rgb, cur_d, cfg)
+    dummy = {k: v[:1] for k, v in obs.items()}
+    variables = fast_init(model, dummy, train=False, seed=0)
+
+    packed = jnp.concatenate(
+        [frame_features_packed(prev_rgb, prev_d, cfg),
+         frame_features_packed(cur_rgb, cur_d, cfg)], axis=-1)
+
+    out_dict = model.apply(variables, obs, train=False)
+    out_packed = model.apply(variables, packed, train=False)
+    np.testing.assert_allclose(np.asarray(out_dict), np.asarray(out_packed),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_predict_step_cached_packed_cache_roundtrip():
+    """predict_step_cached accepts a legacy dict cache on the first call and
+    a packed cache thereafter; deltas equal the one-shot dict predict."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from pointnav_vo_tpu.vo.ensemble import (
+        VOEnsemble,
+        VOInferenceConfig,
+        frame_features,
+        preprocess_obs_pairs,
+        stack_expert_variables,
+    )
+    from _utils import fast_init
+
+    cfg = VOInferenceConfig(vis_size_w=32, vis_size_h=32)
+    model = cfg.make_model()
+    rng = np.random.default_rng(1)
+    b = 6
+    f0_rgb = jnp.asarray(rng.uniform(0, 255, (b, 32, 32, 3)), jnp.float32)
+    f1_rgb = jnp.asarray(rng.uniform(0, 255, (b, 32, 32, 3)), jnp.float32)
+    f2_rgb = jnp.asarray(rng.uniform(0, 255, (b, 32, 32, 3)), jnp.float32)
+    f0_d = jnp.asarray(rng.uniform(0, 1, (b, 32, 32, 1)), jnp.float32)
+    f1_d = jnp.asarray(rng.uniform(0, 1, (b, 32, 32, 1)), jnp.float32)
+    f2_d = jnp.asarray(rng.uniform(0, 1, (b, 32, 32, 1)), jnp.float32)
+    actions = np.asarray([1, 1, 2, 3, 1, 2], np.int32)
+
+    dummy = {k: v[:1] for k, v in preprocess_obs_pairs(
+        f0_rgb, f0_d, f1_rgb, f1_d, cfg).items()}
+    per = [fast_init(model, dummy, train=False, seed=i) for i in range(3)]
+    ens = VOEnsemble(cfg, stack_expert_variables(per))
+
+    # legacy dict seed -> packed cache from then on
+    cache = frame_features(f0_rgb, f0_d, cfg)
+    d1, cache = ens.predict_step_cached(cache, f1_rgb, f1_d, actions)
+    assert not isinstance(cache, dict)
+    d2, cache = ens.predict_step_cached(cache, f2_rgb, f2_d, actions)
+
+    ref1, _ = ens.predict(preprocess_obs_pairs(f0_rgb, f0_d, f1_rgb, f1_d, cfg),
+                          actions)
+    ref2, _ = ens.predict(preprocess_obs_pairs(f1_rgb, f1_d, f2_rgb, f2_d, cfg),
+                          actions)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(ref1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(ref2), atol=1e-6)
