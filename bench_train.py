@@ -54,8 +54,9 @@ def _write_synth_dataset(path: str, n_chunks: int, entries_per_chunk: int,
                 g.create_dataset(key, data=rng.integers(
                     0, 256, n * h * w * 3, dtype=np.uint8))
             for key in ("prev_depths", "cur_depths"):
+                # f16 like the real generator (dataset_generate_utils layout)
                 g.create_dataset(key, data=rng.random(
-                    n * h * w, dtype=np.float32))
+                    n * h * w, dtype=np.float32).astype(np.float16))
             yaw = rng.normal(0, 0.2, n)
             quat = np.stack([np.zeros(n), np.sin(yaw / 2),
                              np.zeros(n), np.cos(yaw / 2)], -1)
@@ -93,6 +94,29 @@ def run_engine_loop(engine, icfg, tcfg, batch: int) -> float:
         engine.train_epoch()  # warm-up: compiles + fills page cache
         stats = engine.train_epoch()
         return stats["frame_pairs_per_s"]
+
+
+def measure_h2d_bandwidth_mbps(mb: int = 64) -> float:
+    """TRUE sustained host->device bandwidth: a jitted consume + scalar host
+    read gates completion (block_until_ready can ack before the tunneled
+    transfer actually lands — the naive probe over-reports ~30x here)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def consume(x):
+        return jnp.sum(x, dtype=jnp.float32)
+
+    a = np.random.default_rng(0).integers(
+        0, 200, mb * 1024 * 1024, dtype=np.uint8)
+    float(consume(jnp.asarray(a)))  # warm signature + destination
+    times = []
+    for _ in range(3):
+        b = a.copy()  # fresh host buffer
+        t0 = time.perf_counter()
+        float(consume(jnp.asarray(b)))
+        times.append(time.perf_counter() - t0)
+    return mb / min(times)
 
 
 def main() -> None:
@@ -143,6 +167,14 @@ def main() -> None:
 
     if args.engine_loop:
         pairs_per_sec = run_engine_loop(engine, icfg, tcfg, batch)
+        # contextualize against the platform's h2d ceiling: the epoch ships
+        # ~328 KB/pair (u8 rgb + f16 depth, each frame once via twin
+        # packing), so on this box's ~44 MB/s tunnel the loop is transfer-
+        # bound by design; on a real TPU host (h2d in the tens of GB/s) the
+        # same loop is host-decode-bound and scales with decode workers
+        bw = measure_h2d_bandwidth_mbps()
+        bytes_per_pair = (h * w * (3 + 2 * 1)) * 2 / 2  # u8 rgb + f16 depth, /2 twins
+        bound = bw * 1024 * 1024 / bytes_per_pair
         result = {
             "metric": "vo_train_pairs_per_sec_engine_loop",
             "value": round(pairs_per_sec, 2),
@@ -150,6 +182,9 @@ def main() -> None:
                     "full engine epoch: HDF5 decode + prefetch + bucketed "
                     "joint step)",
             "vs_baseline": round(pairs_per_sec / REFERENCE_TRAIN_PAIRS_PER_SEC, 2),
+            "h2d_bandwidth_MBps": round(bw, 1),
+            "transfer_bound_pairs_per_s": round(bound, 1),
+            "pct_of_transfer_bound": round(100 * pairs_per_sec / bound, 1),
         }
         print(json.dumps(result))
         if args.save:

@@ -66,9 +66,9 @@ def inverse_delta_from_global(prev_rot, prev_pos, cur_rot, cur_pos) -> np.ndarra
 class FramePairBatch:
     """One host batch of raw frame pairs (device preprocessing downstream)."""
 
-    prev_rgb: np.ndarray  # [B, H, W, 3] uint8
+    prev_rgb: np.ndarray  # [B, H, W, 3] uint8 ([B/2] when twins_packed)
     cur_rgb: np.ndarray
-    prev_depth: np.ndarray  # [B, H, W, 1] float32
+    prev_depth: np.ndarray  # [B, H, W, 1] f16/f32 native ([B/2] when twins_packed)
     cur_depth: np.ndarray
     actions: np.ndarray  # [B] int32 (after inverse-augment flip)
     gt_delta: np.ndarray  # [B, 3] float32 (dx, dz, dyaw)
@@ -76,6 +76,38 @@ class FramePairBatch:
     dz_regress_mask: np.ndarray  # [B] float32
     chunk_idx: np.ndarray  # [B] int32 provenance (engine:624-658 dumps)
     entry_idx: np.ndarray  # [B] int32
+    # joint-stage batches of adjacent (primary, swapped) twins carry each
+    # frame pair's pixels ONCE at entry level ([B/2] rows); the device
+    # expands them (preprocess_obs_pairs_twins).  Sample-level fields
+    # (actions, gt_delta, ...) always have B rows.
+    twins_packed: bool = False
+
+
+def _depth_native(arr: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Reshape a flat depth column to [N, h, w, 1], keeping f16/f32 native
+    (f64 downcasts — no dataset stores meaningful f64 depth precision)."""
+    if arr.dtype not in (np.float16, np.float32):
+        arr = arr.astype(np.float32)
+    return arr.reshape(-1, h, w, 1)
+
+
+def unpack_twins(batch: "FramePairBatch") -> "FramePairBatch":
+    """Expand a twin-packed batch back to sample-level pixel arrays
+    (sample 2k = entry k, sample 2k+1 = entry k with prev/cur swapped)."""
+    if not batch.twins_packed:
+        return batch
+
+    def interleave(a, b):
+        return np.stack([a, b], axis=1).reshape((-1,) + a.shape[1:])
+
+    return dataclasses.replace(
+        batch,
+        prev_rgb=interleave(batch.prev_rgb, batch.cur_rgb),
+        cur_rgb=interleave(batch.cur_rgb, batch.prev_rgb),
+        prev_depth=interleave(batch.prev_depth, batch.cur_depth),
+        cur_depth=interleave(batch.cur_depth, batch.prev_depth),
+        twins_packed=False,
+    )
 
 
 def resolve_dataset_paths(path) -> List[str]:
@@ -192,8 +224,13 @@ class FramePairReader:
             "actions": grp["actions"][()].astype(np.int32),
             "prev_rgb": grp["prev_rgbs"][()].reshape(-1, h, w, 3),
             "cur_rgb": grp["cur_rgbs"][()].reshape(-1, h, w, 3),
-            "prev_depth": grp["prev_depths"][()].reshape(-1, h, w, 1).astype(np.float32),
-            "cur_depth": grp["cur_depths"][()].reshape(-1, h, w, 1).astype(np.float32),
+            # depth keeps its on-disk dtype (the generator stores float16,
+            # dataset_generate_utils.py layout): it ships to device as-is and
+            # frame_features upcasts there — f16->f32 is exact, so values
+            # match the old host-upcast path bit-for-bit at 28% fewer
+            # host->device bytes per batch
+            "prev_depth": _depth_native(grp["prev_depths"][()], h, w),
+            "cur_depth": _depth_native(grp["cur_depths"][()], h, w),
             "delta_pos": grp["delta_positions"][()].astype(np.float32),
             "delta_rot": grp["delta_rotations"][()].astype(np.float32),
             "prev_gpos": grp["prev_global_positions"][()].astype(np.float64),
@@ -275,11 +312,35 @@ class FramePairReader:
                 f.close()
 
     @staticmethod
+    def _is_twin_layout(items) -> bool:
+        """True when the batch is entirely adjacent (primary, swapped) twins
+        of the same entry — the joint-stage layout that can ship entry-level
+        pixels once (FramePairBatch.twins_packed)."""
+        if len(items) % 2:
+            return False
+        for k in range(0, len(items), 2):
+            ci0, _, (i0, sw0, _, _) = items[k]
+            ci1, _, (i1, sw1, _, _) = items[k + 1]
+            if sw0 or not sw1 or ci0 != ci1 or i0 != i1:
+                return False
+        return True
+
+    @staticmethod
     def _assemble(items) -> FramePairBatch:
         prev_rgb, cur_rgb, prev_d, cur_d = [], [], [], []
         acts, deltas, dtypes, chunk_is, entry_is = [], [], [], [], []
+        twins_packed = FramePairReader._is_twin_layout(items)
         for ci, data, (i, swapped, a, delta) in items:
-            if swapped:
+            if twins_packed:
+                # pixels appended once per ENTRY (on the primary visit);
+                # metadata stays sample-level below
+                if not swapped:
+                    prev_rgb.append(data["prev_rgb"][i])
+                    cur_rgb.append(data["cur_rgb"][i])
+                    prev_d.append(data["prev_depth"][i])
+                    cur_d.append(data["cur_depth"][i])
+                dtypes.append(PREV_REL_TO_CUR if swapped else CUR_REL_TO_PREV)
+            elif swapped:
                 prev_rgb.append(data["cur_rgb"][i])
                 cur_rgb.append(data["prev_rgb"][i])
                 prev_d.append(data["cur_depth"][i])
@@ -306,6 +367,7 @@ class FramePairReader:
             dz_regress_mask=np.ones(len(acts), np.float32),
             chunk_idx=np.asarray(chunk_is, np.int32),
             entry_idx=np.asarray(entry_is, np.int32),
+            twins_packed=twins_packed,
         )
 
 

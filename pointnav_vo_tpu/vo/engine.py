@@ -50,8 +50,11 @@ from pointnav_vo_tpu.common import (
 from pointnav_vo_tpu.io.checkpoint import load_checkpoint, rng_state_bundle, save_checkpoint
 from pointnav_vo_tpu.parallel.mesh import DATA_AXIS
 from pointnav_vo_tpu.vo import losses as losses_lib
-from pointnav_vo_tpu.vo.dataset import FramePairBatch, FramePairReader
-from pointnav_vo_tpu.vo.ensemble import VOInferenceConfig, preprocess_obs_pairs
+from pointnav_vo_tpu.vo.dataset import (FramePairBatch, FramePairReader,
+                                        unpack_twins)
+from pointnav_vo_tpu.vo.ensemble import (VOInferenceConfig,
+                                         preprocess_obs_pairs,
+                                         preprocess_obs_pairs_twins)
 
 try:
     from jax import shard_map
@@ -113,17 +116,49 @@ class VOTrainConfig:
 
 
 def _batch_to_device(batch: FramePairBatch) -> Dict[str, jnp.ndarray]:
-    return {
-        "prev_rgb": jnp.asarray(batch.prev_rgb, jnp.float32),
-        "cur_rgb": jnp.asarray(batch.cur_rgb, jnp.float32),
-        "prev_depth": jnp.asarray(batch.prev_depth),
-        "cur_depth": jnp.asarray(batch.cur_depth),
+    out = {
         "actions": jnp.asarray(batch.actions),
         "gt_delta": jnp.asarray(batch.gt_delta),
         "data_types": jnp.asarray(batch.data_types),
         "dz_mask": jnp.asarray(batch.dz_regress_mask),
         "valid": jnp.ones((batch.actions.shape[0],), jnp.float32),
     }
+    # rgb ships as uint8: frame_features casts to f32 ON DEVICE (bit-
+    # identical — u8->f32 is exact), so the host skips a 400 MB/batch float
+    # conversion and the tunnel moves 4x fewer rgb bytes.  On the 1-core dev
+    # host that conversion serialized against the prefetch thread's HDF5
+    # decode and dominated the whole epoch (measured 4-10 s/batch; u8
+    # shipping restores transfer-bound behavior).
+    if batch.twins_packed:
+        # joint-stage twin batches ship ENTRY-level pixels ([B/2] rows, each
+        # frame once) and expand on device (preprocess_obs_pairs_twins) —
+        # half the host stack+transfer bytes again
+        out["entry_prev_rgb"] = jnp.asarray(batch.prev_rgb)
+        out["entry_cur_rgb"] = jnp.asarray(batch.cur_rgb)
+        out["entry_prev_depth"] = jnp.asarray(batch.prev_depth)
+        out["entry_cur_depth"] = jnp.asarray(batch.cur_depth)
+    else:
+        out["prev_rgb"] = jnp.asarray(batch.prev_rgb)
+        out["cur_rgb"] = jnp.asarray(batch.cur_rgb)
+        out["prev_depth"] = jnp.asarray(batch.prev_depth)
+        out["cur_depth"] = jnp.asarray(batch.cur_depth)
+    return out
+
+
+def obs_pairs_from_batch(batch: Dict[str, jnp.ndarray],
+                         icfg: VOInferenceConfig) -> Dict[str, jnp.ndarray]:
+    """Preprocessed pair observations from a device batch dict — dispatches
+    on the (static) key structure between the sample-level and the
+    twin-packed entry-level layouts."""
+    if "entry_prev_rgb" in batch:
+        return preprocess_obs_pairs_twins(
+            batch["entry_prev_rgb"], batch["entry_prev_depth"],
+            batch["entry_cur_rgb"], batch["entry_cur_depth"], icfg,
+        )
+    return preprocess_obs_pairs(
+        batch["prev_rgb"], batch["prev_depth"],
+        batch["cur_rgb"], batch["cur_depth"], icfg,
+    )
 
 
 def pad_batch(arrs: Dict[str, jnp.ndarray], target: int) -> Dict[str, jnp.ndarray]:
@@ -133,7 +168,9 @@ def pad_batch(arrs: Dict[str, jnp.ndarray], target: int) -> Dict[str, jnp.ndarra
         return arrs
     out = {}
     for k, v in arrs.items():
-        pad = [(0, target - b)] + [(0, 0)] * (v.ndim - 1)
+        # twin-packed entry arrays carry B/2 rows (one per frame pair)
+        tgt = target // 2 if k.startswith("entry_") else target
+        pad = [(0, tgt - v.shape[0])] + [(0, 0)] * (v.ndim - 1)
         out[k] = jnp.pad(v, pad)
     out["valid"] = out["valid"].at[b:].set(0.0)
     return out
@@ -225,10 +262,7 @@ def make_loss_fn(model, icfg: VOInferenceConfig, tcfg: VOTrainConfig):
     expert_actions = tcfg.expert_actions
 
     def loss_fn(p, batch_stats, batch, rng):
-        obs = preprocess_obs_pairs(
-            batch["prev_rgb"], batch["prev_depth"],
-            batch["cur_rgb"], batch["cur_depth"], icfg,
-        )
+        obs = obs_pairs_from_batch(batch, icfg)
         actions = batch["actions"]
         gt = batch["gt_delta"]
         valid = batch["valid"]
@@ -363,10 +397,7 @@ def make_eval_step(model, icfg: VOInferenceConfig, tcfg: VOTrainConfig):
     expert_actions = tcfg.expert_actions
 
     def step(stacked_vars, batch):
-        obs = preprocess_obs_pairs(
-            batch["prev_rgb"], batch["prev_depth"],
-            batch["cur_rgb"], batch["cur_depth"], icfg,
-        )
+        obs = obs_pairs_from_batch(batch, icfg)
         preds, _, _ = _forward_all_experts(
             model, stacked_vars, obs, batch["actions"], expert_actions,
             jax.random.PRNGKey(0), False, batch["valid"],
@@ -450,39 +481,46 @@ class VORegressionEngine:
         if mesh is None:
             self._train_step = jax.jit(step_fn, donate_argnames=("stacked_vars", "opt_state"))
         else:
-            batch_spec = {
-                k: P(DATA_AXIS)
-                for k in ("prev_rgb", "cur_rgb", "prev_depth", "cur_depth",
-                          "actions", "gt_delta", "data_types", "dz_mask", "valid")
-            }
-
             def wrapped(variables, opt_state, batch, rng):
                 rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
                 return step_fn(variables, opt_state, batch, rng)
 
-            def sharded(spec):
-                return jax.jit(
-                    shard_map(
-                        wrapped, mesh=mesh,
-                        in_specs=(P(), P(), spec, P()),
-                        out_specs=(P(), P(), P()),
-                        check_vma=False,
-                    ),
-                    donate_argnames=("variables", "opt_state"),
-                )
+            self._mesh_wrapped_step = wrapped
+            # every batch array is batch-major (sample-level [B], twin-packed
+            # entry-level [B/2], and per-shard-local bucket indices alike),
+            # so the spec is P(DATA_AXIS) on every key; the jitted shard_map
+            # is cached per key-set (a handful of signatures: packed /
+            # unpacked x bucketed / not) and the public step dispatches on
+            # the batch's actual keys
+            self._mesh_step_cache: Dict[frozenset, Any] = {}
 
-            self._train_step = sharded(batch_spec)
+            def dispatch(variables, opt_state, batch, rng):
+                return self._mesh_train_step(tuple(batch.keys()))(
+                    variables, opt_state, batch, rng)
+
+            self._train_step = dispatch
             if self._bucketed_train:
-                # bucket index arrays carry per-shard LOCAL indices,
-                # concatenated in shard order, so P(DATA_AXIS) hands each
-                # device its own half-batch bucket
-                bucket_spec = dict(batch_spec)
-                for j in range(len(tcfg.expert_actions)):
-                    bucket_spec[f"bucket_idx_{j}"] = P(DATA_AXIS)
-                self._train_step_bucketed = sharded(bucket_spec)
+                self._train_step_bucketed = dispatch
         self._eval_step = jax.jit(make_eval_step(self.model, icfg, tcfg))
 
     # ------------------------------------------------------------------
+
+    def _mesh_train_step(self, keys):
+        """Jitted shard_map'd train step for a batch with exactly `keys` —
+        cached per key-set (packed/unpacked x bucketed/not)."""
+        cache_key = frozenset(keys)
+        if cache_key not in self._mesh_step_cache:
+            spec = {k: P(DATA_AXIS) for k in keys}
+            self._mesh_step_cache[cache_key] = jax.jit(
+                shard_map(
+                    self._mesh_wrapped_step, mesh=self.mesh,
+                    in_specs=(P(), P(), spec, P()),
+                    out_specs=(P(), P(), P()),
+                    check_vma=False,
+                ),
+                donate_argnames=("variables", "opt_state"),
+            )
+        return self._mesh_step_cache[cache_key]
 
     def grad_snapshot(self) -> Dict:
         """Per-parameter gradient tree on one fresh train batch (no update) —
@@ -518,8 +556,7 @@ class VORegressionEngine:
         engine:1364-1423)."""
         assert self.train_reader is not None
         arrs = self._snapshot_batch()
-        obs = preprocess_obs_pairs(arrs["prev_rgb"], arrs["prev_depth"],
-                                   arrs["cur_rgb"], arrs["cur_depth"], self.icfg)
+        obs = obs_pairs_from_batch(arrs, self.icfg)
         return {k: np.asarray(v[0]) for k, v in obs.items()}
 
     def _attach_train_buckets(self, arrs, batch):
@@ -570,15 +607,16 @@ class VORegressionEngine:
         # economics, reference epoch loop engine:809-1018).  The only host
         # syncs are the log_interval metric fetches and the final read.
         loss_acc = None
+        n_dev = int(self.mesh.devices.size) if self.mesh is not None else 1
         for batch in loader:
+            if batch.twins_packed and (batch.actions.shape[0] // 2) % n_dev:
+                # entry rows must split evenly over the mesh's data axis
+                batch = unpack_twins(batch)
             arrs = _batch_to_device(batch)
             if self._bucketed_train:
                 arrs = self._attach_train_buckets(arrs, batch)
             self.rng, sub = jax.random.split(self.rng)
-            step = self._train_step
-            if self.mesh is not None and "bucket_idx_0" in arrs:
-                step = self._train_step_bucketed
-            self.variables, self.opt_state, metrics = step(
+            self.variables, self.opt_state, metrics = self._train_step(
                 self.variables, self.opt_state, arrs, sub
             )
             n_batches += 1

@@ -137,6 +137,35 @@ def pair_from_features(prev_feats: Dict[str, jax.Array],
             for k in prev_feats}
 
 
+def preprocess_obs_pairs_twins(
+    prev_rgb: jax.Array,
+    prev_depth: jax.Array,
+    cur_rgb: jax.Array,
+    cur_depth: jax.Array,
+    cfg: VOInferenceConfig,
+) -> Dict[str, jax.Array]:
+    """Entry-level twin expansion for the joint geo-invariance stage.
+
+    The joint stage's batches alternate (primary, swapped) samples built
+    from the SAME frame pair (engine:367-374 layout), so the host ships each
+    entry's pixels once ([E=B/2] arrays) and the device expands: sample 2k is
+    pair(f_prev[k], f_cur[k]), sample 2k+1 is pair(f_cur[k], f_prev[k]).
+    Frame features (depth discretization, top-down projection) are computed
+    once per FRAME instead of once per sample — half the preprocess FLOPs of
+    :func:`preprocess_obs_pairs` on the expanded batch, and half the
+    host->device bytes.  Values are identical to the unpacked path.
+    """
+    fp = frame_features(prev_rgb, prev_depth, cfg)
+    fc = frame_features(cur_rgb, cur_depth, cfg)
+    out = {}
+    for k in fp:
+        primary = jnp.concatenate([fp[k], fc[k]], axis=-1)
+        swapped = jnp.concatenate([fc[k], fp[k]], axis=-1)
+        out[k] = jnp.stack([primary, swapped], axis=1).reshape(
+            (primary.shape[0] * 2,) + primary.shape[1:])
+    return out
+
+
 # stem channel order of the VO encoder (vo_cnn.py:88-106): per frame, the
 # blocks are rgb/255, depth, discretized_depth, top_down_view; the stem input
 # x is concat(prev blocks, cur blocks)

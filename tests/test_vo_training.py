@@ -17,7 +17,9 @@ import jax.numpy as jnp
 from pointnav_vo_tpu.common import MOVE_FORWARD, TURN_LEFT, TURN_RIGHT
 from pointnav_vo_tpu.rl.envs import EnvConfig
 from pointnav_vo_tpu.vo import losses as L
-from pointnav_vo_tpu.vo.dataset import FramePairReader, generate_scripted_dataset
+from pointnav_vo_tpu.vo.dataset import (FramePairReader,
+                                        generate_scripted_dataset,
+                                        unpack_twins)
 from pointnav_vo_tpu.vo.engine import VORegressionEngine, VOTrainConfig
 from pointnav_vo_tpu.vo.ensemble import VOInferenceConfig
 
@@ -96,8 +98,13 @@ def test_inverse_augmentation_pairs(dataset_path):
     # swapped action is the opposite turn
     a0, a1 = batch.actions[0::2], batch.actions[1::2]
     assert np.all((a0 == TURN_LEFT) == (a1 == TURN_RIGHT))
-    # frames really swapped
-    np.testing.assert_array_equal(batch.prev_rgb[0], batch.cur_rgb[1])
+    # all-twin batches ship entry-level pixels once (device expands);
+    # the swap is recovered exactly by unpack_twins
+    assert batch.twins_packed
+    assert batch.prev_rgb.shape[0] == batch.actions.shape[0] // 2
+    unpacked = unpack_twins(batch)
+    np.testing.assert_array_equal(unpacked.prev_rgb[0], unpacked.cur_rgb[1])
+    np.testing.assert_array_equal(unpacked.prev_rgb[1], unpacked.cur_rgb[0])
 
     # geo-invariance loss on GT deltas ~ 0 (the reference's train_debug check)
     gt = jnp.asarray(batch.gt_delta)
@@ -421,3 +428,52 @@ def test_bucketed_joint_training_matches_masked_path(dataset_path):
                     jax.tree.leaves(v_fast["batch_stats"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_twin_packed_batch_matches_unpacked(dataset_path):
+    """A twin-packed batch (entry-level pixels, device-side expansion) must
+    train identically to the same batch shipped sample-level."""
+    import dataclasses
+
+    from pointnav_vo_tpu.vo.engine import _batch_to_device
+
+    icfg = dataclasses.replace(_small_icfg(), dropout_p=0.0)
+    tcfg = VOTrainConfig(
+        batch_size=16, epochs=1, action_type=(TURN_LEFT, TURN_RIGHT),
+        geo_invariance_types=("inverse_joint_train",), lr=1.5e-4,
+    )
+    reader = FramePairReader(
+        dataset_path, W, H, act_type=(TURN_LEFT, TURN_RIGHT),
+        geo_invariance_types=("inverse_joint_train",),
+    )
+    engine = _fast_engine(icfg, tcfg, reader)
+    batch = next(reader.iter_batches(16, rng=np.random.default_rng(4),
+                                     drop_last=True))
+    assert batch.twins_packed
+    arrs_packed = _batch_to_device(batch)
+    assert "entry_prev_rgb" in arrs_packed
+    assert arrs_packed["entry_prev_rgb"].dtype == jnp.uint8
+    arrs_flat = _batch_to_device(unpack_twins(batch))
+    assert "prev_rgb" in arrs_flat
+
+    key = jax.random.PRNGKey(7)
+    copy = lambda t: jax.tree.map(jnp.copy, t)  # noqa: E731
+    v_a, _, m_a = engine._train_step(copy(engine.variables),
+                                     copy(engine.opt_state), arrs_packed, key)
+    v_b, _, m_b = engine._train_step(copy(engine.variables),
+                                     copy(engine.opt_state), arrs_flat, key)
+    np.testing.assert_allclose(float(m_a["total_loss"]),
+                               float(m_b["total_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(v_a["params"]),
+                    jax.tree.leaves(v_b["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+    # eval step parity on the padded short-batch path
+    from pointnav_vo_tpu.vo.engine import pad_batch
+    preds_a, diffs_a = engine._eval_step(
+        engine.variables, pad_batch(arrs_packed, 32))
+    preds_b, diffs_b = engine._eval_step(
+        engine.variables, pad_batch(arrs_flat, 32))
+    np.testing.assert_allclose(np.asarray(preds_a)[:16],
+                               np.asarray(preds_b)[:16], atol=1e-5, rtol=1e-4)
