@@ -11,7 +11,12 @@ mix), each stage of `_vo_step_cached` in isolation:
   5. the full fused step (reference point)
 
 Each timing runs ITERS dispatch-chained steps with one host sync at the end
-(same protocol as bench.py).  Run: python examples/profile_vo_step.py
+(same protocol as bench.py).  Iterations are separated with
+``lax.optimization_barrier`` and every stage output is fully consumed
+(jnp.sum) — without both, XLA CSEs the identical iterations into one and
+dead-code-eliminates everything not feeding the single element read, and the
+"timings" measure nothing.  Run from the repo root:
+python examples/profile_vo_step.py
 """
 
 import os
@@ -26,10 +31,9 @@ ITERS = int(os.environ.get("BENCH_ITERS", 8))
 
 
 def timed(name, fn, *args):
-    fn(*args)  # warmup/compile
-    t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
+    float(fn(*args))  # warmup/compile; host read — block_until_ready can
+    t0 = time.perf_counter()  # ack early through the tunneled runtime
+    float(fn(*args))
     dt = (time.perf_counter() - t0) / ITERS
     print(f"{name:45s} {dt*1e3:8.2f} ms/step  ({BATCH/dt:8.0f} img-or-pairs/s)")
     return dt
@@ -73,14 +77,16 @@ def main():
     buckets, order = bucket_expert_indices_static(actions, BATCH)
     order = jnp.asarray(order)
 
+    barrier = jax.lax.optimization_barrier
+
     # 1. packed per-frame preprocess
     @jax.jit
     def chain_pre(rgb, depth):
         acc = jnp.zeros((), jnp.float32)
         for _ in range(ITERS):
             f = frame_features_packed(rgb, depth, cfg)
-            acc = acc + f.reshape(-1)[0].astype(jnp.float32)
-            rgb = rgb + acc * 0  # keep the chain data-dependent
+            acc = acc + jnp.sum(f.astype(jnp.float32))
+            rgb, depth, acc = barrier((rgb, depth, acc))
         return acc
 
     timed("frame_features_packed (full preprocess)", chain_pre, cur_rgb, cur_depth)
@@ -93,13 +99,16 @@ def main():
             acc = jnp.zeros((), jnp.float32)
             for _ in range(ITERS):
                 v = top_down_view_batch(depth, cfg.topdown_params, impl)
-                acc = acc + v.reshape(-1)[0]
-                depth = depth + acc * 0
+                acc = acc + jnp.sum(v)
+                depth, acc = barrier((depth, acc))
             return acc
 
         timed(f"top_down_view_batch[{impl}]", chain_td, d2)
 
-    # 3. bucket selection alone on the packed [B,H,W,30] pair
+    # 3. bucket selection alone on the packed [B,H,W,30] pair.  NOTE: in the
+    # real fused program each per-bucket selection fuses into its expert's
+    # stem conv; standalone it must materialize [C,H,W,30] to HBM, so this
+    # row is an upper bound on the selection's marginal cost.
     pair = jnp.concatenate([feats, feats], axis=-1)
 
     @jax.jit
@@ -110,8 +119,8 @@ def main():
                 if idx.shape[0] == 0:
                     continue
                 sub = select_rows_onehot(pair, idx, BATCH)
-                acc = acc + sub.reshape(-1)[0].astype(jnp.float32)
-            pair = pair + (acc * 0).astype(pair.dtype)
+                acc = acc + jnp.sum(sub.astype(jnp.float32))
+            pair, acc = barrier((pair, acc))
         return acc
 
     timed("bucket selection (one-hot einsums)", chain_sel, pair)
@@ -127,7 +136,8 @@ def main():
                 params_e = jax.tree.map(lambda x: x[j], ensemble.variables)
                 pred = model.apply(params_e, sub, train=False)
                 acc = acc + jnp.sum(pred).astype(jnp.float32)
-            subs = [s + (acc * 0).astype(s.dtype) for s in subs]
+            subs = barrier(subs)
+
         return acc
 
     timed("expert forwards (pre-sliced rows)", chain_fwd, subs)
@@ -141,7 +151,9 @@ def main():
             acc = acc + jnp.sum(delta).astype(jnp.float32)
         return float(acc), feats
 
-    chain_full(2, feats)
+    # predict_step_cached donates its feats argument — thread the returned
+    # cache forward or the timed call reads a deleted buffer
+    _, feats = chain_full(2, feats)
     t0 = time.perf_counter()
     chain_full(ITERS, feats)
     dt = (time.perf_counter() - t0) / ITERS

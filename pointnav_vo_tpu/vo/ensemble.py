@@ -343,6 +343,15 @@ def _det_bucketed(model, cfg, variables, obs_pairs, bucket_idx,
     # (88 vs 69 ms/step): XLA fuses each per-bucket selection into its
     # expert's stem convolution, while the one big einsum materializes
     # [sum(C), H, W, 30] to HBM and serializes before any forward starts.
+    # Two more measured losers (A/B on v5e, batch 512, 70/15/15 mix, vs the
+    # 7403 pairs/s baseline of this exact code):
+    #   - a graduated capacity ladder (turn buckets 128 -> 96 rows): 7217.
+    #     Fewer rows, but 96 is a worse conv batch tile than 128; padding on
+    #     the ceil(B/4) grid is effectively free.
+    #   - grouping the two same-capacity turn buckets into one vmapped
+    #     forward over stacked expert params: 6997.  The grouped select is
+    #     one big einsum again (the HBM-materialization failure above), and
+    #     vmap's extra leading dim worsens every downstream tile.
     for j, idx in enumerate(bucket_idx):
         if idx.shape[0] == 0:
             continue
