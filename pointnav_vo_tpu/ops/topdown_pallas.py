@@ -3,15 +3,18 @@
 The matmul formulation in ops/topdown.py materializes the per-point one-hot
 matrices in HBM (~70 MB per image pair at 341x192) — the binning becomes
 HBM-bandwidth-bound.  This kernel streams point chunks through VMEM: for each
-chunk of 1024 candidate points it builds the [H, chunk] / [W, chunk] one-hots
+chunk of candidate points it builds the [H, chunk] / [W, chunk] one-hots
 with broadcasted_iota comparisons (VPU) and accumulates
 ``counts += ohr @ ohc^T`` on the MXU into a VMEM scratch accumulator.  The
 one-hots never exist outside VMEM, cutting the op's HBM traffic to the
 [P] int32 bin indices plus the [H, W] output.
 
-Counts are exact: 0/1 values are exact in bf16 and the f32 accumulator is
-exact for integer sums < 2^24.  Invalid points carry bin index -1, which
-matches no one-hot row.
+The one-hots and the contraction are **int8 -> int32**: the binning matmul is
+the op's FLOP bill (P x H x W ~ 2.2 Tops per 512-image batch) and v5e's MXU
+runs int8 at 2x the bf16 rate.  Counts are exact in any of these dtypes (0/1
+operands, integer accumulation far below 2^24 / 2^31); measured on v5e at
+batch 512: 19.9 ms (bf16) -> 13.2 ms (int8).  Invalid points carry bin index
+-1, which matches no one-hot row.
 """
 
 from __future__ import annotations
@@ -23,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 4096
+CHUNK = 2048
 
 
 def _round_up(x: int, m: int) -> int:
@@ -34,22 +37,22 @@ def _make_kernel(h: int, w: int, p_pad: int):
     n_chunks = p_pad // CHUNK
 
     def kernel(pr_ref, pc_ref, out_ref, acc_ref):
-        acc_ref[...] = jnp.zeros((h, w), jnp.float32)
+        acc_ref[...] = jnp.zeros((h, w), jnp.int32)
         for i in range(n_chunks):
             pr = pr_ref[0, i, :].reshape(1, CHUNK)  # [1, CHUNK]
             pc = pc_ref[0, i, :].reshape(1, CHUNK)
             ohr = (
                 jax.lax.broadcasted_iota(jnp.int32, (h, CHUNK), 0) == pr
-            ).astype(jnp.bfloat16)  # [H, CHUNK]
+            ).astype(jnp.int8)  # [H, CHUNK]
             ohc = (
                 jax.lax.broadcasted_iota(jnp.int32, (w, CHUNK), 0) == pc
-            ).astype(jnp.bfloat16)  # [W, CHUNK]
+            ).astype(jnp.int8)  # [W, CHUNK]
             acc_ref[...] += jax.lax.dot_general(
                 ohr, ohc,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.int32,
             )
-        out_ref[0] = acc_ref[...]
+        out_ref[0] = acc_ref[...].astype(jnp.float32)
 
     return kernel
 
@@ -86,6 +89,6 @@ def bin_counts_pallas(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((h, w), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((h, w), jnp.int32)],
         interpret=interpret,
     )(pr, pc)
