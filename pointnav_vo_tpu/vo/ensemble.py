@@ -340,9 +340,19 @@ def _det_bucketed(model, cfg, variables, obs_pairs, bucket_idx,
     out = jnp.zeros((batch + 1, 3), jnp.float32)
     # NOTE: fusing the k per-bucket selections into one concatenated-index
     # einsum (one source read instead of k) was measured SLOWER at batch 512
-    # (88 vs 69 ms/step): XLA fuses each per-bucket selection into its
-    # expert's stem convolution, while the one big einsum materializes
-    # [sum(C), H, W, 30] to HBM and serializes before any forward starts.
+    # (81 vs 64 ms/step, re-confirmed on the packed path).  The device trace
+    # explains why: each per-bucket selection fuses the whitening affine AND
+    # the layout change into its write, emitting the stem input directly in
+    # the conv-friendly layout ({0,2,3,1}); the one big einsum writes the
+    # default layout and every slice then pays a separate transpose copy.
+    # Two further trace-guided restructurings also measured SLOWER and were
+    # reverted: selecting the (prev, cur) 15-channel halves separately to
+    # skip the [B, H, W, 30] pair assembly (~5.7 ms of copies) breaks that
+    # same select+whiten+layout fusion because the whitening then sits after
+    # a channel concat (7.9k -> 7.7k pairs/s); applying the whitening affine
+    # per half next to each einsum restores the fusion but the six narrow
+    # 15-channel selects plus new layout copies on the halves cost more than
+    # the assembly saved (7.9k -> 6.9k, device total 60.6 -> 68.7 ms).
     # Two more measured losers (A/B on v5e, batch 512, 70/15/15 mix, vs the
     # 7403 pairs/s baseline of this exact code):
     #   - a graduated capacity ladder (turn buckets 128 -> 96 rows): 7217.
