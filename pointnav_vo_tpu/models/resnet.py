@@ -192,6 +192,16 @@ class GNResNet(nn.Module):
     Matches the reference's layer plan (resnet.py:153-223): 7x7/2 stem + GN +
     ReLU, 3x3/2 max-pool, then 4 stages at widths base*(1,2,4,8) with stride-2
     transitions (ResNeXt doubles the stage width, halves expansion).
+
+    Perf note (v5e device trace, fused det eval step at batch 512): the
+    GroupNorms are effectively FREE inside the jitted program — XLA fuses
+    the stats reductions into the producing conv's epilogue and the
+    normalize+relu into the consumer — skipping ALL GroupNorm computation
+    changes the step by only 0.25 of 63.7 ms.  Do not hand-write a fused GN
+    kernel for this model; the compiler already did it.  The step's real
+    bill is the convs themselves, which run at 36% (stem, 30->32 channels)
+    to ~20% (32/64-channel stage convs) of MXU peak because the reference
+    architecture's narrow channel counts underfill the 128-wide lanes.
     """
 
     base_planes: int = 32
