@@ -130,6 +130,10 @@ def fused_vo_act_step(
                                   bucket_idx, expert_ids)
         std = jnp.zeros_like(delta)
     else:
+        # rnd mode stays on the all-experts + gather program: see
+        # VOEnsemble.predict's docstring for the measured negative result on
+        # bucketing it (dropout only touches the FC trunk, so XLA already
+        # hoists the conv backbone out of the K-pass vmap)
         delta, std = _predict(vo_model, vo_cfg, vo_variables, obs_pairs,
                               actions_taken, vo_rng)
 
@@ -228,16 +232,19 @@ class Evaluator:
                       else jax.device_put(a, self._obs_sharding))
         return out
 
-    def _vo_delta(self, prev_obs, new_obs, actions, infos):
+    def _vo_delta(self, prev_obs, new_obs, actions_np, infos):
         """Both obs dicts are the device-resident copies (_to_device), so the
-        fused and unfused paths see bit-identical inputs."""
+        fused and unfused paths see bit-identical inputs.  ``actions_np`` is
+        the HOST [n] action array (just synced to step the envs): numpy
+        actions let :meth:`VOEnsemble.predict` use static expert buckets in
+        both det and rnd modes, matching the fused mega-step bit-for-bit."""
         if self.vo_fn is not None:
-            return self.vo_fn(prev_obs, new_obs, actions, infos)
+            return self.vo_fn(prev_obs, new_obs, actions_np, infos)
         self.rng, sub = jax.random.split(self.rng)
         delta, std, _ = self.vo.compute_local_delta_states_from_vo(
             prev_obs["rgb"], prev_obs["depth"],
             new_obs["rgb"], new_obs["depth"],
-            actions[:, 0], rng=sub,
+            actions_np, rng=sub,
         )
         return delta, std
 
@@ -392,8 +399,8 @@ class Evaluator:
                         mesh=self.mesh,
                     )
                 else:
-                    delta, std = self._vo_delta(obs_dev, new_obs_dev, action,
-                                                infos)
+                    delta, std = self._vo_delta(obs_dev, new_obs_dev,
+                                                actions_np, infos)
                     goal_cart, polar = propagate_goal(goal_cart, delta, reset, sensor)
                 new_obs_dev = dict(new_obs_dev)
                 new_obs_dev["pointgoal_with_gps_compass"] = polar

@@ -469,7 +469,18 @@ class VOEnsemble:
         In det mode with *host* actions (numpy — always the case on the eval
         path, which just synced actions to step the envs) each sample runs
         only its own expert via static per-expert buckets; device actions or
-        rnd mode fall back to the all-experts + gather program.
+        rnd mode use the all-experts + gather program.
+
+        rnd mode deliberately does NOT bucket (measured on v5e, B=256,
+        rnd_mode_n=10: all-experts 35.8 ms vs bucketed own-expert 40.3 ms).
+        The reference's dropout sits only on the FC trunk
+        (vo_cnn.py:213-219), so XLA hoists the key-independent conv backbone
+        out of the K-pass vmap — the all-experts program runs each backbone
+        exactly once as one well-batched [3, B] conv stack, while bucketing
+        pays per-bucket selection einsums and small-cap convs to save
+        backbone rows that were already cheap.  The reference's per-sample
+        own-expert loop (base_trainer_with_vo.py:295-308) is the right
+        dispatch for its batch-1 GPU pipeline, not for this one.
         """
         import numpy as np
 
