@@ -170,14 +170,59 @@ def main():
     wall = time.perf_counter() - t_all
     env_steps = args.steps * n
     per_step = {k: v / args.steps * 1e3 for k, v in timing.items()}
-    device_ms = per_step["act"] + per_step["vo"]
+
+    # Device-only cost of one eval step (policy act + VO + goal update),
+    # measured as a dispatch-chained program with ONE host sync (the bench.py
+    # protocol): the per-step loop above pays a tunnel round-trip and a
+    # fresh-buffer relayout on every small transfer, which buries the actual
+    # device time at small env counts (the loop's act+vo wall can read
+    # 100-800 ms/step on a bad tunnel day for a ~15 ms device program).
+    from pointnav_vo_tpu.vo.ensemble import (
+        _vo_step_cached, bucket_expert_indices_static,
+    )
+
+    buckets, order = bucket_expert_indices_static(actions, n)
+    order = jnp.asarray(order)
+    barrier = jax.lax.optimization_barrier
+    CH = 8
+
+    @jax.jit
+    def chain(feats, rgb, depth, goal_polar, goal_cart, hidden, prev_a, masks, rng):
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(CH):
+            rng, sub = jax.random.split(rng)
+            _v, a, _lp, hidden = act_step(
+                policy, pol_vars,
+                {"depth": depth, "pointgoal_with_gps_compass": goal_polar},
+                hidden, prev_a, masks, sub, deterministic=True,
+            )
+            delta, feats = _vo_step_cached(
+                vo_model, vo_cfg, ensemble.variables, feats,
+                rgb.astype(jnp.float32), depth.astype(jnp.float32),
+                buckets, order)
+            goal_cart, goal_polar = propagate_goal(
+                goal_cart, delta, masks * 0.0, goal_polar)
+            acc = acc + jnp.sum(delta) + jnp.sum(a.astype(jnp.float32))
+            (feats, rgb, depth, goal_polar, goal_cart, hidden, acc) = barrier(
+                (feats, rgb, depth, goal_polar, goal_cart, hidden, acc))
+        return acc
+
+    cargs = (feats, rgb_dev, depth_dev, goal_polar, goal_cart, hidden,
+             prev_actions, masks, rng)
+    float(chain(*cargs))  # compile + warm
+    t0 = time.perf_counter()
+    float(chain(*cargs))
+    device_ms = (time.perf_counter() - t0) / CH * 1e3
+
     total_steps_needed = EPISODES * REFERENCE_STEPS_PER_EP
     device_proj_min = total_steps_needed / n * device_ms / 1e3 / 60
     e2e_proj_min = total_steps_needed / (env_steps / wall) / 60
     print(f"envs={n} steps={args.steps} (= {env_steps} env-steps), wall {wall:.1f}s, "
           f"{episodes_done} episodes finished")
-    print(f"per-batched-step: act {per_step['act']:.1f} ms | vo+goal {per_step['vo']:.1f} ms | "
+    print(f"per-batched-step (loop, incl. tunnel RTT): act {per_step['act']:.1f} ms | "
+          f"vo+goal {per_step['vo']:.1f} ms | "
           f"ship {per_step['ship']:.1f} ms | env(host) {per_step['env']:.1f} ms")
+    print(f"device-only fused step (chained, one sync): {device_ms:.1f} ms at {n} envs")
     print(f"994-episode projections: device-bound {device_proj_min:.1f} min"
           f" ({REFERENCE_EVAL_HOURS*60/device_proj_min:.1f}x vs reference 270 min);"
           f" end-to-end on this dev box {e2e_proj_min:.1f} min"
