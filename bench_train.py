@@ -229,15 +229,48 @@ def main() -> None:
         key, sub = jax.random.split(key)
         variables, opt_state, metrics = step(variables, opt_state, sub)
         assert np.isfinite(float(jnp.asarray(metrics["total_loss"]).mean()))
-    dt = time.perf_counter() - t0
+    per_dispatch = batch * args.iters / (time.perf_counter() - t0)
 
-    pairs_per_sec = batch * args.iters / dt
+    # headline: args.iters steps CHAINED in one program (params/opt threading
+    # is a natural data dependence), one host read at the end — the bench.py
+    # protocol.  Separate per-step dispatches pay this box's tunnel RTT
+    # (~38 ms/step measured at batch 256, vs 57.6 ms device time by xprof);
+    # a real TPU host overlaps dispatch with compute, which is exactly what
+    # the chain measures.  Each chained step gets a DISTINCT batch (rows
+    # rolled by the step index) — with a repeated batch XLA CSEs the whole
+    # preprocess across the chain and the number reads ~35 ms/step, which no
+    # real epoch can see; the roll even adds a copy a real loop doesn't pay.
+    chain_n = args.iters
+    rolled_keys = ("prev_rgb", "cur_rgb", "prev_depth", "cur_depth")
+
+    @jax.jit
+    def chain_steps(variables, opt_state, arrs, key):
+        metrics = None
+        for i in range(chain_n):
+            arrs_i = dict(arrs)
+            if i:
+                for k in rolled_keys:
+                    arrs_i[k] = jnp.roll(arrs[k], i, axis=0)
+            key, sub = jax.random.split(key)
+            variables, opt_state, metrics = engine._train_step(
+                variables, opt_state, arrs_i, sub)
+        return variables, opt_state, metrics
+
+    v, o, m = chain_steps(variables, opt_state, arrs, key)  # compile + warm
+    assert np.isfinite(float(jnp.asarray(m["total_loss"]).mean()))
+    t0 = time.perf_counter()
+    v, o, m = chain_steps(variables, opt_state, arrs, key)
+    assert np.isfinite(float(jnp.asarray(m["total_loss"]).mean()))
+    pairs_per_sec = batch * chain_n / (time.perf_counter() - t0)
+
     result = {
         "metric": "vo_train_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 2),
         "unit": f"frame-pairs/s (batch {batch}, 341x192, {args.precision}, "
                 "joint turn stage: fused preprocess + 2 stacked experts + "
-                "geo-invariance + adam)",
+                "geo-invariance + adam; dispatch-chained steps, one host "
+                "read — per-dispatch stepping on this tunneled box: "
+                f"{round(per_dispatch)} pairs/s)",
         "vs_baseline": round(pairs_per_sec / REFERENCE_TRAIN_PAIRS_PER_SEC, 2),
     }
     print(json.dumps(result))
