@@ -221,6 +221,11 @@ def get_vo_config(paths: Optional[List[str]] = None, opts: Optional[list] = None
                 "optim": "adam",
                 "collision": "-1",
                 "action_type": 1,
+                # > 0: that many HDF5 decode worker PROCESSES feed the train
+                # loop through the native shm rings (the reference's
+                # num_workers DataLoader knob, vo_pointnav.yaml; libhdf5's
+                # global lock makes threads useless for decode scaling)
+                "decode_workers": 0,
             },
             "EVAL": {
                 "save_pred": True,

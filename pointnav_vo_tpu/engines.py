@@ -200,12 +200,23 @@ class VOGeoInvarianceEngine:
             if shard_by_process:
                 shard_index = jax.process_index()
                 num_shards = jax.process_count()
-            return FramePairReader(
-                path, vo.VIS_SIZE_W, vo.VIS_SIZE_H,
+            kwargs = dict(
+                path=path, vis_size_w=vo.VIS_SIZE_W, vis_size_h=vo.VIS_SIZE_H,
                 act_type=act_type, geo_invariance_types=geo_types,
                 partial_data_n_splits=vo.DATASET.PARTIAL_DATA_N_SPLITS,
                 shard_index=shard_index, num_shards=num_shards,
             )
+            workers = int(vo.TRAIN.get("decode_workers", 0))
+            if shard_by_process and workers > 0:
+                # process-parallel chunk decode for the TRAIN loop (the
+                # reference's DataLoader num_workers); eval keeps the serial
+                # reader and its exact-count/ordering contracts
+                from pointnav_vo_tpu.vo.parallel_reader import (
+                    ParallelDecodeReader,
+                )
+
+                return ParallelDecodeReader(kwargs, num_workers=workers)
+            return FramePairReader(**kwargs)
 
         train_path = vo.DATASET.get("TRAIN_WITH_NOISE") or vo.DATASET.get("TRAIN")
         eval_path = vo.DATASET.get("EVAL_WITH_NOISE") or vo.DATASET.get("EVAL")
