@@ -57,18 +57,19 @@ def _decode_worker(prefix: str, widx: int, reader_kwargs: dict,
     rng = (np.random.default_rng([epoch_seed, widx])
            if epoch_seed is not None else None)
     ln = np.zeros(1, np.uint64)
-    try:
-        for batch in reader.iter_batches(batch_size, rng=rng,
-                                         drop_last=drop_last):
-            blob = pickle.dumps(batch, protocol=5)
-            dring.push(blob, timeout_ms=600_000)
-            ln[0] = len(blob)
-            lring.push(ln, timeout_ms=600_000)
-    finally:
-        ln[0] = 0  # end-of-stream marker
+    for batch in reader.iter_batches(batch_size, rng=rng,
+                                     drop_last=drop_last):
+        blob = pickle.dumps(batch, protocol=5)
+        dring.push(blob, timeout_ms=600_000)
+        ln[0] = len(blob)
         lring.push(ln, timeout_ms=600_000)
-        lring.close()
-        dring.close()
+    # end-of-stream marker ONLY on clean completion: a worker that dies must
+    # NOT look like an empty stream — the consumer's liveness poll turns the
+    # missing marker into a RuntimeError with the exit code
+    ln[0] = 0
+    lring.push(ln, timeout_ms=600_000)
+    lring.close()
+    dring.close()
 
 
 class ParallelDecodeReader:

@@ -78,3 +78,14 @@ def test_worker_shard_composition(dataset_path):
     w1 = FramePairReader(**par._worker_kwargs(1))
     assert sorted(w0.chunks + w1.chunks) == sorted(par._serial.chunks)
     assert not (set(w0.chunks) & set(w1.chunks))
+
+
+def test_worker_death_raises_not_empty_stream(dataset_path, tmp_path):
+    """A worker that dies must surface as an error with its exit code, not
+    masquerade as an empty epoch (the end marker is pushed only on clean
+    completion)."""
+    bad = str(tmp_path / "missing.h5")
+    par = ParallelDecodeReader(dict(_kwargs(dataset_path)), num_workers=1)
+    par._kwargs["path"] = bad  # workers will fail to open it
+    with pytest.raises(RuntimeError, match="decode worker 0 died"):
+        list(par.iter_batches(8))
