@@ -72,12 +72,17 @@ def _write_synth_dataset(path: str, n_chunks: int, entries_per_chunk: int,
                      np.zeros(n), np.cos(gyaw[:, col] / 2)], -1))
 
 
-def run_engine_loop(engine, icfg, tcfg, batch: int) -> float:
+def run_engine_loop(engine, icfg, tcfg, batch: int,
+                    decode_workers: int = 0) -> float:
     """Measure VORegressionEngine.train_epoch over a real HDF5 reader —
     the loop the user actually runs (host decode + prefetch + device step),
     not just the raw jitted step (VERDICT r2 weak #2).  Returns pairs/s of
-    the second (warm) epoch."""
+    the second (warm) epoch.  ``decode_workers`` > 0 measures the
+    process-parallel decode path (VO.TRAIN.decode_workers) — expect a WIN
+    only on multi-core decode-bound hosts; on this 1-core tunnel-bound dev
+    box it adds IPC for nothing."""
     from pointnav_vo_tpu.vo.dataset import FramePairReader
+    from pointnav_vo_tpu.vo.parallel_reader import ParallelDecodeReader
 
     h, w = icfg.vis_size_h, icfg.vis_size_w
     with tempfile.TemporaryDirectory() as td:
@@ -86,11 +91,14 @@ def run_engine_loop(engine, icfg, tcfg, batch: int) -> float:
         # batches per chunk, 16 per epoch
         _write_synth_dataset(path, n_chunks=4, entries_per_chunk=2 * batch,
                              h=h, w=w)
-        engine.train_reader = FramePairReader(
-            path, vis_size_w=w, vis_size_h=h,
+        kwargs = dict(
+            path=path, vis_size_w=w, vis_size_h=h,
             act_type=list(tcfg.expert_actions),
             geo_invariance_types=tcfg.geo_invariance_types,
         )
+        engine.train_reader = (
+            ParallelDecodeReader(kwargs, num_workers=decode_workers)
+            if decode_workers > 0 else FramePairReader(**kwargs))
         engine.train_epoch()  # warm-up: compiles + fills page cache
         stats = engine.train_epoch()
         return stats["frame_pairs_per_s"]
@@ -128,6 +136,9 @@ def main() -> None:
                         "fp32 params+adam), the documented fast mode; fp32 "
                         "matches reference numerics")
     p.add_argument("--save", action="store_true")
+    p.add_argument("--decode-workers", type=int, default=0,
+                   help="with --engine-loop: measure the process-parallel "
+                        "decode path (VO.TRAIN.decode_workers)")
     p.add_argument("--engine-loop", action="store_true",
                    help="measure VORegressionEngine.train_epoch over a real "
                         "HDF5 reader (host decode + prefetch + device step) "
@@ -166,7 +177,8 @@ def main() -> None:
     engine = VORegressionEngine(icfg, tcfg, init_variables_per_expert=[one, one])
 
     if args.engine_loop:
-        pairs_per_sec = run_engine_loop(engine, icfg, tcfg, batch)
+        pairs_per_sec = run_engine_loop(engine, icfg, tcfg, batch,
+                                        args.decode_workers)
         # contextualize against the platform's h2d ceiling: the epoch ships
         # ~328 KB/pair (u8 rgb + f16 depth, each frame once via twin
         # packing), so on this box's ~44 MB/s tunnel the loop is transfer-
