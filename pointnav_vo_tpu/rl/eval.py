@@ -236,8 +236,8 @@ class Evaluator:
         """Both obs dicts are the device-resident copies (_to_device), so the
         fused and unfused paths see bit-identical inputs.  ``actions_np`` is
         the HOST [n] action array (just synced to step the envs): numpy
-        actions let :meth:`VOEnsemble.predict` use static expert buckets in
-        both det and rnd modes, matching the fused mega-step bit-for-bit."""
+        actions let :meth:`VOEnsemble.predict` route det mode through the
+        static expert buckets, matching the fused mega-step's dispatch."""
         if self.vo_fn is not None:
             return self.vo_fn(prev_obs, new_obs, actions_np, infos)
         self.rng, sub = jax.random.split(self.rng)
