@@ -111,8 +111,12 @@ class ParallelDecodeReader:
     ) -> Iterator[FramePairBatch]:
         from pointnav_vo_tpu.native import ShmRing
 
+        import uuid
+
         epoch_seed = None if rng is None else int(rng.integers(2 ** 31 - 1))
-        prefix = f"pnvdec_{os.getpid()}_{np.random.randint(2 ** 31)}"
+        # uuid, not a seeded RNG: two readers in one process under a fixed
+        # global seed must not collide on shm segment names
+        prefix = f"pnvdec_{os.getpid()}_{uuid.uuid4().hex[:8]}"
         h, w = self._kwargs["vis_size_h"], self._kwargs["vis_size_w"]
         slot = _slot_bytes(batch_size, h, w)
         rings, procs = [], []
