@@ -443,6 +443,14 @@ def oracle_goal_follower(turn_angle_deg: float, success_distance: float):
     return follower
 
 
+def oracle_follower_factory(env):
+    """``follower_factory``-shaped wrapper over :func:`oracle_goal_follower`
+    (reads the geometry knobs off the env's own config) — usable as a
+    ``module:callable`` spec for the generation CLI's ``--follower``."""
+    return oracle_goal_follower(env.cfg.turn_angle_deg,
+                                env.cfg.success_distance)
+
+
 def generate_dataset(
     path: str,
     n_entries: int,
@@ -451,6 +459,8 @@ def generate_dataset(
     env_cfg=None,
     rnd_p: float = 1.0,
     seed: int = 0,
+    valid_actions: Optional[Sequence[int]] = None,
+    obs_transform=None,
 ) -> int:
     """Roll a follower policy through an env, save reference-schema HDF5
     (generate_datasets.py:32-687).
@@ -463,6 +473,12 @@ def generate_dataset(
     - ``follower_factory(env) -> f(env, obs) -> action`` with 0 meaning
       "episode done, reset" — default :func:`oracle_goal_follower`; a habitat
       ShortestPathFollower wraps in directly.
+
+    ``valid_actions`` restricts which step pairs are SAVED (the follower
+    still takes whatever action it wants) — the reference's ``act_type``
+    filter, generate_datasets.py:535-538.  ``obs_transform(obs_hwc) ->
+    obs_hwc`` is applied to each saved rgb/depth image (the reference's
+    Resizer / ResizeCenterCropper hook, generate_datasets.py:663-670).
 
     Returns the number of entries written.
     """
@@ -477,6 +493,7 @@ def generate_dataset(
         follower = oracle_goal_follower(env_cfg.turn_angle_deg,
                                         env_cfg.success_distance)
 
+    _tf = obs_transform if obs_transform is not None else (lambda x: x)
     buf: List[Dict] = []
     written = 0
     chunk_cnt = 0
@@ -510,7 +527,8 @@ def generate_dataset(
             p_obs = obs
             nobs, _r, done, info = env.step(action)
             cur_gpos, cur_grot = env.global_pose()
-            keep = rng.uniform() < rnd_p
+            keep = ((valid_actions is None or action in valid_actions)
+                    and rng.uniform() < rnd_p)
             if keep:
                 # delta of cur relative to prev (dataset target convention)
                 inv = _q_inv(prev_grot)
@@ -525,10 +543,10 @@ def generate_dataset(
                     "episode_start_positions": np.zeros(3, np.float32),
                     "episode_start_rotations": np.zeros(4, np.float32),
                     "episode_goal_positions": env.goal_position(),
-                    "prev_rgbs": p_obs["rgb"].astype(np.uint8).reshape(-1),
-                    "cur_rgbs": nobs["rgb"].astype(np.uint8).reshape(-1),
-                    "prev_depths": p_obs["depth"].astype(np.float16).reshape(-1),
-                    "cur_depths": nobs["depth"].astype(np.float16).reshape(-1),
+                    "prev_rgbs": _tf(p_obs["rgb"]).astype(np.uint8).reshape(-1),
+                    "cur_rgbs": _tf(nobs["rgb"]).astype(np.uint8).reshape(-1),
+                    "prev_depths": _tf(p_obs["depth"]).astype(np.float16).reshape(-1),
+                    "cur_depths": _tf(nobs["depth"]).astype(np.float16).reshape(-1),
                     "prev_point_goal_vecs": p_obs["pointgoal_with_gps_compass"],
                     "cur_point_goal_vecs": nobs["pointgoal_with_gps_compass"],
                     "prev_episodic_gpses": np.zeros(2, np.float32),
@@ -570,13 +588,17 @@ def generate_dataset_parallel(
     env_cfg=None,
     rnd_p: float = 1.0,
     seed: int = 0,
+    valid_actions: Optional[Sequence[int]] = None,
+    obs_transform=None,
+    factory_kwargs: Optional[List[Dict]] = None,
 ) -> List[str]:
     """Fan dataset generation over worker processes, one file each — the
     in-process analogue of the reference's SLURM array jobs
     (generate_datasets.py + its sbatch wrappers).  Each worker rolls its own
     env (seeded ``seed + 1000 * i``) and writes ``{prefix}.w{i}.h5``; the
     returned file list (or ``{prefix}.w*.h5``) reads as ONE dataset through
-    FramePairReader.
+    FramePairReader.  ``factory_kwargs``, if given, is one extra kwargs dict
+    per worker forwarded to ``env_factory`` (scene splits, task config).
     """
     import multiprocessing as mp
 
@@ -585,9 +607,15 @@ def generate_dataset_parallel(
     paths = [f"{path_prefix}.w{i}.h5" for i in range(n_workers)]
 
     def _run(i):
-        generate_dataset(paths[i], per[i], env_factory=env_factory,
+        ef = env_factory
+        if ef is not None and factory_kwargs is not None:
+            base, kw = env_factory, factory_kwargs[i]
+            ef = lambda cfg, seed: base(cfg, seed=seed, **kw)  # noqa: E731
+        generate_dataset(paths[i], per[i], env_factory=ef,
                          follower_factory=follower_factory, env_cfg=env_cfg,
-                         rnd_p=rnd_p, seed=seed + 1000 * i)
+                         rnd_p=rnd_p, seed=seed + 1000 * i,
+                         valid_actions=valid_actions,
+                         obs_transform=obs_transform)
 
     ctx = mp.get_context("fork")
     procs = [ctx.Process(target=_run, args=(i,)) for i in range(n_workers)]
