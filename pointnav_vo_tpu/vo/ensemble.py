@@ -166,6 +166,42 @@ def preprocess_obs_pairs_twins(
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def preprocess_obs_pairs_twins_packed(
+    prev_rgb: jax.Array,
+    prev_depth: jax.Array,
+    cur_rgb: jax.Array,
+    cur_depth: jax.Array,
+    cfg: VOInferenceConfig,
+) -> jax.Array:
+    """:func:`preprocess_obs_pairs_twins` emitting the PACKED stem block
+    ([B, H, W, 2*C_frame] in the encoder's stem channel order) instead of the
+    per-key dict — same twin expansion (sample 2k = (f_prev[k], f_cur[k]),
+    sample 2k+1 swapped), equal to the dict path to 1 ulp.  The bucketed
+    joint train step selects this single array per expert bucket (one one-hot
+    einsum instead of four) exactly like the det eval path."""
+    fp = frame_features_packed(prev_rgb, prev_depth, cfg)
+    fc = frame_features_packed(cur_rgb, cur_depth, cfg)
+    primary = jnp.concatenate([fp, fc], axis=-1)
+    swapped = jnp.concatenate([fc, fp], axis=-1)
+    return jnp.stack([primary, swapped], axis=1).reshape(
+        (primary.shape[0] * 2,) + primary.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def preprocess_obs_pairs_packed(
+    prev_rgb: jax.Array,
+    prev_depth: jax.Array,
+    cur_rgb: jax.Array,
+    cur_depth: jax.Array,
+    cfg: VOInferenceConfig,
+) -> jax.Array:
+    """:func:`preprocess_obs_pairs` emitting the packed stem block."""
+    return jnp.concatenate(
+        [frame_features_packed(prev_rgb, prev_depth, cfg),
+         frame_features_packed(cur_rgb, cur_depth, cfg)], axis=-1)
+
+
 # stem channel order of the VO encoder (vo_cnn.py:88-106): per frame, the
 # blocks are rgb/255, depth, discretized_depth, top_down_view; the stem input
 # x is concat(prev blocks, cur blocks)
