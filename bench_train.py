@@ -205,11 +205,17 @@ def main() -> None:
         return
 
     rng = np.random.default_rng(0)
+    # the production joint-stage layout: the loader ships TWIN-PACKED
+    # entry-level pixels ([B/2] rows, each frame once; sample 2k is the
+    # primary pair, 2k+1 its swapped twin expanded on device) — see
+    # FramePairReader twin packing / engine._batch_to_device.  Shipping
+    # sample-level pixels here would bin/discretize every frame twice,
+    # measuring a path the real epoch loop never runs.
     arrs = {
-        "prev_rgb": jnp.asarray(rng.uniform(0, 255, (batch, h, w, 3)), jnp.float32),
-        "cur_rgb": jnp.asarray(rng.uniform(0, 255, (batch, h, w, 3)), jnp.float32),
-        "prev_depth": jnp.asarray(rng.uniform(0, 1, (batch, h, w, 1)), jnp.float32),
-        "cur_depth": jnp.asarray(rng.uniform(0, 1, (batch, h, w, 1)), jnp.float32),
+        "entry_prev_rgb": jnp.asarray(rng.uniform(0, 255, (batch // 2, h, w, 3)), jnp.float32),
+        "entry_cur_rgb": jnp.asarray(rng.uniform(0, 255, (batch // 2, h, w, 3)), jnp.float32),
+        "entry_prev_depth": jnp.asarray(rng.uniform(0, 1, (batch // 2, h, w, 1)), jnp.float32),
+        "entry_cur_depth": jnp.asarray(rng.uniform(0, 1, (batch // 2, h, w, 1)), jnp.float32),
         "actions": jnp.asarray(np.tile([TURN_LEFT, TURN_RIGHT], batch // 2), jnp.int32),
         "gt_delta": jnp.asarray(rng.normal(0, 0.1, (batch, 3)), jnp.float32),
         "data_types": jnp.asarray(np.tile([0, 1], batch // 2), jnp.int32),
@@ -253,7 +259,8 @@ def main() -> None:
     # preprocess across the chain and the number reads ~35 ms/step, which no
     # real epoch can see; the roll even adds a copy a real loop doesn't pay.
     chain_n = args.iters
-    rolled_keys = ("prev_rgb", "cur_rgb", "prev_depth", "cur_depth")
+    rolled_keys = ("entry_prev_rgb", "entry_cur_rgb",
+                   "entry_prev_depth", "entry_cur_depth")
 
     @jax.jit
     def chain_steps(variables, opt_state, arrs, key):
