@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from pointnav_vo_tpu.common import ACT_NAME2IDX
-from pointnav_vo_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from pointnav_vo_tpu.io.checkpoint import load_checkpoint
 from pointnav_vo_tpu.io.torch_import import load_vo_checkpoint
 from pointnav_vo_tpu.models.policy import PointNavActorCritic, PointNavBaselineActorCritic
 from pointnav_vo_tpu.rl.envs import (
@@ -241,21 +241,27 @@ class VOGeoInvarianceEngine:
         if "eval" in run_type and config.EVAL.EVAL_WITH_CKPT:
             self.engine.load_ckpt(self._eval_ckpt)
 
-    def _save_ckpt(self, epoch: int) -> None:
+    def _save_ckpt(self, epoch: int, writer=None) -> None:
         path = os.path.join(self.config.CHECKPOINT_FOLDER, f"ckpt_epoch_{epoch}.pkl")
         self.engine.save_ckpt(
-            path, extra_metadata={"full_config": self.config.to_dict()}
+            path, extra_metadata={"full_config": self.config.to_dict()},
+            writer=writer,
         )
 
     def train(self):
+        from pointnav_vo_tpu.io.checkpoint import AsyncCheckpointWriter
         from pointnav_vo_tpu.utils import preemption
 
         preemption.install_signal_handlers()
         cfg = self.config
+        # epoch checkpoints serialize + hit disk under the NEXT epoch's
+        # compute; wait() before any requeue/return makes them durable
+        ckpt_writer = AsyncCheckpointWriter()
         with TensorboardWriter(cfg.get("TENSORBOARD_DIR")) as tb:
             while self.engine.epoch < self.tcfg.epochs:
                 if preemption.should_exit():
                     # full resumable state + requeue (ddp_utils.py:58-110)
+                    ckpt_writer.wait()
                     self.engine.save_ckpt(preemption.interrupted_state_path())
                     preemption.requeue_job()
                     self.logger.info("preempted: interrupted state saved")
@@ -301,9 +307,10 @@ class VOGeoInvarianceEngine:
                              os.path.join(cfg.INFO_DIR, "train_infos.jsonl"))
                 save_info_dict({k: [v] for k, v in stats.items() if np.isscalar(v)},
                                os.path.join(cfg.INFO_DIR, "train_regression_info.p"))
-                self._save_ckpt(epoch)
+                self._save_ckpt(epoch, writer=ckpt_writer)
                 self.logger.info(f"epoch {epoch}: loss={stats.get('mean_total_loss'):.5f} "
                                  f"fps={stats.get('frame_pairs_per_s'):.1f}")
+        ckpt_writer.close()
 
     def eval(self):
         save = None
@@ -437,12 +444,15 @@ class _BaseRLEngine:
             trainer.count_steps = int(meta.get("count_steps", 0))
             trainer.update_idx = start_update
             self.logger.info(f"resumed from {cfg.RESUME_STATE_FILE} @ update {start_update}")
+        from pointnav_vo_tpu.io.checkpoint import AsyncCheckpointWriter
         from pointnav_vo_tpu.utils import preemption
 
         preemption.install_signal_handlers()
+        ckpt_writer = AsyncCheckpointWriter()
         with TensorboardWriter(cfg.get("TENSORBOARD_DIR")) as tb:
             for update in range(start_update, cfg.NUM_UPDATES):
                 if preemption.should_exit():
+                    ckpt_writer.wait()
                     preemption.save_interrupted_state(
                         {"params": trainer.params, "opt_state": trainer.opt_state,
                          "extra_variables": trainer.variables},
@@ -467,7 +477,7 @@ class _BaseRLEngine:
                         f"ckpt_{update // cfg.CHECKPOINT_INTERVAL}.update_{update}."
                         f"frames_{trainer.count_steps}.pkl",
                     )
-                    save_checkpoint(
+                    ckpt_writer.save(
                         path,
                         # full variables: params + whitening batch_stats etc,
                         # so rgb policies restore their RunningMeanAndVar
@@ -481,6 +491,7 @@ class _BaseRLEngine:
                             "count_steps": trainer.count_steps,
                         },
                     )
+        ckpt_writer.close()
         return trainer
 
     def eval(self, ckpt_path: Optional[str] = None, num_episodes: Optional[int] = None):

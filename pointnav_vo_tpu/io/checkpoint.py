@@ -41,8 +41,13 @@ def restore_rng_state(bundle: Dict[str, Any]) -> None:
 def save_checkpoint(path: str, tree: Any, metadata: Optional[Dict] = None) -> None:
     """tree: any pytree of arrays (params/opt_state/batch_stats/...).
     metadata: picklable extras (config dict, epoch, rng states...)."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     host_tree = jax.tree.map(np.asarray, tree)
+    _write_checkpoint(path, host_tree, metadata)
+
+
+def _write_checkpoint(path: str, host_tree: Any, metadata: Optional[Dict]) -> None:
+    """Serialize + atomically write an already-host-resident tree."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
         "tree": serialization.to_bytes(host_tree),
         "treedef_template": pickle.dumps(jax.tree.map(lambda x: (x.shape, str(x.dtype)), host_tree)),
@@ -52,6 +57,70 @@ def save_checkpoint(path: str, tree: Any, metadata: Optional[Dict] = None) -> No
     with open(tmp, "wb") as f:
         pickle.dump(payload, f)
     os.replace(tmp, path)  # atomic — survives preemption mid-save
+
+
+class AsyncCheckpointWriter:
+    """Overlap checkpoint serialization + disk IO with device compute.
+
+    ``save()`` snapshots the pytree to host arrays ON THE CALLING THREAD
+    (mandatory: the train steps donate ``variables``/``opt_state``, so the
+    device buffers are invalid the moment the next step is dispatched —
+    vo/engine.py:502, :541) and hands the msgpack encode + atomic write to
+    a single FIFO worker thread.  For the ~150 MB three-expert VO state the
+    synchronous part is one device->host copy; the serialization and disk
+    write (the expensive half on the epoch boundary) run under the next
+    epoch's compute.
+
+    Errors surface on the next ``save()``/``wait()`` call rather than being
+    swallowed (a silent checkpoint failure is the worst failure).  Call
+    ``wait()`` before requeueing on preemption and at the end of training —
+    the interrupted-state file must be durable before `scontrol requeue`
+    (reference semantics: ddp_utils.py:58-110 saves synchronously).
+    """
+
+    def __init__(self) -> None:
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._errors: list = []
+        self._thread = threading.Thread(target=self._drain, daemon=True)
+        self._thread.start()
+
+    def _drain(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                self._q.task_done()
+                return
+            path, host_tree, metadata = item
+            try:
+                _write_checkpoint(path, host_tree, metadata)
+            except Exception as e:  # surfaced on next save()/wait()
+                self._errors.append(e)
+            finally:
+                self._q.task_done()
+
+    def _raise_pending(self) -> None:
+        if self._errors:
+            raise RuntimeError(
+                f"async checkpoint write failed: {self._errors[0]!r}"
+            ) from self._errors.pop(0)
+
+    def save(self, path: str, tree: Any, metadata: Optional[Dict] = None) -> None:
+        self._raise_pending()
+        host_tree = jax.tree.map(np.asarray, tree)  # blocking fetch (see class doc)
+        self._q.put((path, host_tree, metadata))
+
+    def wait(self) -> None:
+        """Block until every enqueued checkpoint is durably on disk."""
+        self._q.join()
+        self._raise_pending()
+
+    def close(self) -> None:
+        self.wait()
+        self._q.put(None)
+        self._thread.join()
 
 
 def load_checkpoint(path: str, target: Any = None):

@@ -703,8 +703,13 @@ class VORegressionEngine:
                 pickle.dump({k: np.concatenate(v) if v else np.zeros(0) for k, v in dump.items()}, f)
         return out
 
-    def save_ckpt(self, path: str, extra_metadata=None) -> None:
-        """Full resumable state (reference ckpt contents, engine:1425-1447)."""
+    def save_ckpt(self, path: str, extra_metadata=None, writer=None) -> None:
+        """Full resumable state (reference ckpt contents, engine:1425-1447).
+
+        With ``writer`` (an io.checkpoint.AsyncCheckpointWriter) the
+        serialization + disk write overlap the next epoch's compute; the
+        device->host snapshot still happens here (the train step donates
+        these buffers)."""
         metadata = {
             "epoch": self.epoch,
             "train_config": dataclasses.asdict(self.tcfg),
@@ -716,11 +721,11 @@ class VORegressionEngine:
             "host_rng": rng_state_bundle(),
         }
         metadata.update(extra_metadata or {})
-        save_checkpoint(
-            path,
-            {"variables": self.variables, "opt_state": self.opt_state},
-            metadata=metadata,
-        )
+        tree = {"variables": self.variables, "opt_state": self.opt_state}
+        if writer is not None:
+            writer.save(path, tree, metadata=metadata)
+        else:
+            save_checkpoint(path, tree, metadata=metadata)
 
     def load_ckpt(self, path: str) -> Dict:
         tree, meta = load_checkpoint(
