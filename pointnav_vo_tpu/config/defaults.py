@@ -106,6 +106,13 @@ def get_rl_config(paths: Optional[List[str]] = None, opts: Optional[list] = None
             "EVAL_CKPT_PATH": "",
             "SAVE_RANKED_IMGS": False,
             "RANK_TOP_K": 1,
+            # eval-during-training: >0 keeps polling EVAL_CKPT_PATH until
+            # that many checkpoints have been evaluated (habitat's
+            # poll_checkpoint_folder-style driver the reference runs
+            # alongside training, base_trainer.py:76-153); 0 = one-shot
+            # mtime sweep of whatever exists now
+            "WAIT_FOR_CKPTS": 0,
+            "CKPT_POLL_INTERVAL_S": 2.0,
         },
         "RL": {
             "SUCCESS_REWARD": 2.5,

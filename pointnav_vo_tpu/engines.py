@@ -256,12 +256,17 @@ class VOGeoInvarianceEngine:
         cfg = self.config
         # epoch checkpoints serialize + hit disk under the NEXT epoch's
         # compute; wait() before any requeue/return makes them durable
-        ckpt_writer = AsyncCheckpointWriter()
-        with TensorboardWriter(cfg.get("TENSORBOARD_DIR")) as tb:
+        with AsyncCheckpointWriter() as ckpt_writer, \
+                TensorboardWriter(cfg.get("TENSORBOARD_DIR")) as tb:
             while self.engine.epoch < self.tcfg.epochs:
                 if preemption.should_exit():
-                    # full resumable state + requeue (ddp_utils.py:58-110)
-                    ckpt_writer.wait()
+                    # full resumable state + requeue (ddp_utils.py:58-110).
+                    # A deferred write error from an earlier periodic ckpt
+                    # must not block the interrupted-state save + requeue.
+                    err = ckpt_writer.drain_quietly()
+                    if err is not None:
+                        self.logger.error(
+                            f"earlier async checkpoint write failed: {err!r}")
                     self.engine.save_ckpt(preemption.interrupted_state_path())
                     preemption.requeue_job()
                     self.logger.info("preempted: interrupted state saved")
@@ -310,7 +315,6 @@ class VOGeoInvarianceEngine:
                 self._save_ckpt(epoch, writer=ckpt_writer)
                 self.logger.info(f"epoch {epoch}: loss={stats.get('mean_total_loss'):.5f} "
                                  f"fps={stats.get('frame_pairs_per_s'):.1f}")
-        ckpt_writer.close()
 
     def eval(self):
         save = None
@@ -448,11 +452,14 @@ class _BaseRLEngine:
         from pointnav_vo_tpu.utils import preemption
 
         preemption.install_signal_handlers()
-        ckpt_writer = AsyncCheckpointWriter()
-        with TensorboardWriter(cfg.get("TENSORBOARD_DIR")) as tb:
+        with AsyncCheckpointWriter() as ckpt_writer, \
+                TensorboardWriter(cfg.get("TENSORBOARD_DIR")) as tb:
             for update in range(start_update, cfg.NUM_UPDATES):
                 if preemption.should_exit():
-                    ckpt_writer.wait()
+                    err = ckpt_writer.drain_quietly()
+                    if err is not None:
+                        self.logger.error(
+                            f"earlier async checkpoint write failed: {err!r}")
                     preemption.save_interrupted_state(
                         {"params": trainer.params, "opt_state": trainer.opt_state,
                          "extra_variables": trainer.variables},
@@ -491,7 +498,6 @@ class _BaseRLEngine:
                             "count_steps": trainer.count_steps,
                         },
                     )
-        ckpt_writer.close()
         return trainer
 
     def eval(self, ckpt_path: Optional[str] = None, num_episodes: Optional[int] = None):
@@ -500,20 +506,36 @@ class _BaseRLEngine:
         cfg = self.config
         ckpt_path = ckpt_path or cfg.EVAL.EVAL_CKPT_PATH
         if ckpt_path and os.path.isdir(ckpt_path):
+            import time as _time
+
             results = {}
-            # only real checkpoints: a leftover .tmp from an interrupted
-            # atomic save or a stray log must not abort the whole sweep
-            files = [
-                f for f in os.listdir(ckpt_path)
-                if f.startswith("ckpt") and f.endswith((".pkl", ".pth"))
-            ]
-            for f in sorted(files,
-                            key=lambda f: os.path.getmtime(os.path.join(ckpt_path, f))):
-                p = os.path.join(ckpt_path, f)
-                try:
-                    results[f] = self._eval_checkpoint(p, num_episodes)
-                except (OSError, pickle.UnpicklingError, EOFError) as e:
-                    self.logger.warning(f"skipping unreadable checkpoint {p}: {e}")
+            # eval-during-training: keep polling the folder for checkpoints
+            # the trainer hasn't written yet until WAIT_FOR_CKPTS of them
+            # have been evaluated (base_trainer.py:76-153's companion-eval
+            # driver); 0 = one-shot sweep of what exists now
+            target = int(cfg.EVAL.get("WAIT_FOR_CKPTS", 0) or 0)
+            poll_s = float(cfg.EVAL.get("CKPT_POLL_INTERVAL_S", 2.0))
+            while True:
+                # only real checkpoints: a leftover .tmp from an interrupted
+                # atomic save or a stray log must not abort the whole sweep
+                files = [
+                    f for f in os.listdir(ckpt_path)
+                    if f.startswith("ckpt") and f.endswith((".pkl", ".pth"))
+                    and f not in results
+                ]
+                for f in sorted(files, key=lambda f: os.path.getmtime(
+                        os.path.join(ckpt_path, f))):
+                    p = os.path.join(ckpt_path, f)
+                    try:
+                        results[f] = self._eval_checkpoint(p, num_episodes)
+                    except (OSError, pickle.UnpicklingError, EOFError) as e:
+                        self.logger.warning(f"skipping unreadable checkpoint {p}: {e}")
+                        # unreadable now but possibly mid-write: retry on the
+                        # next poll rather than marking it done
+                        results.pop(f, None)
+                if len(results) >= target or target <= 0:
+                    break
+                _time.sleep(poll_s)
             return results
         return self._eval_checkpoint(ckpt_path, num_episodes)
 

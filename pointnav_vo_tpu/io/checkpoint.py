@@ -41,8 +41,20 @@ def restore_rng_state(bundle: Dict[str, Any]) -> None:
 def save_checkpoint(path: str, tree: Any, metadata: Optional[Dict] = None) -> None:
     """tree: any pytree of arrays (params/opt_state/batch_stats/...).
     metadata: picklable extras (config dict, epoch, rng states...)."""
-    host_tree = jax.tree.map(np.asarray, tree)
+    host_tree = jax.tree.map(_host_copy, tree)
     _write_checkpoint(path, host_tree, metadata)
+
+
+def _host_copy(x: Any) -> np.ndarray:
+    """Materialize an OWNED host copy of an array.
+
+    ``np.asarray`` on a jax.Array may return a zero-copy view on CPU
+    backends; with donated train steps the underlying buffer can be
+    clobbered by the next dispatched step before the (possibly async)
+    serialization reads it.  ``np.array(..., copy=True)`` guarantees the
+    snapshot is taken at save time on every backend.
+    """
+    return np.array(x, copy=True)
 
 
 def _write_checkpoint(path: str, host_tree: Any, metadata: Optional[Dict]) -> None:
@@ -82,7 +94,12 @@ class AsyncCheckpointWriter:
         import queue
         import threading
 
-        self._q: "queue.Queue" = queue.Queue()
+        # Bounded: each queued item holds a full host snapshot (~150 MB for
+        # the three-expert VO state).  With a slow disk and a small
+        # CHECKPOINT_INTERVAL an unbounded queue grows host memory without
+        # backpressure; maxsize=2 makes save() block when the writer falls
+        # behind — still far cheaper than the fully synchronous path.
+        self._q: "queue.Queue" = queue.Queue(maxsize=2)
         self._errors: list = []
         self._thread = threading.Thread(target=self._drain, daemon=True)
         self._thread.start()
@@ -109,7 +126,7 @@ class AsyncCheckpointWriter:
 
     def save(self, path: str, tree: Any, metadata: Optional[Dict] = None) -> None:
         self._raise_pending()
-        host_tree = jax.tree.map(np.asarray, tree)  # blocking fetch (see class doc)
+        host_tree = jax.tree.map(_host_copy, tree)  # owned snapshot (see class doc)
         self._q.put((path, host_tree, metadata))
 
     def wait(self) -> None:
@@ -117,10 +134,37 @@ class AsyncCheckpointWriter:
         self._q.join()
         self._raise_pending()
 
+    def drain_quietly(self) -> Optional[Exception]:
+        """wait(), but return (not raise) any deferred write error.
+
+        For the preemption path: a failed *periodic* checkpoint from an
+        earlier epoch must not prevent saving the interrupted state and
+        requeueing the job — the interrupted state is the one that matters
+        for resumption.  Returns the first deferred error (if any) so the
+        caller can log it.
+        """
+        self._q.join()
+        if self._errors:
+            return self._errors.pop(0)
+        return None
+
     def close(self) -> None:
         self.wait()
         self._q.put(None)
         self._thread.join()
+
+    def __enter__(self) -> "AsyncCheckpointWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.close()  # surface any deferred write error
+        else:
+            # already unwinding: drain what's queued so completed epochs'
+            # checkpoints still land, but don't mask the in-flight exception
+            self.drain_quietly()
+            self._q.put(None)
+            self._thread.join()
 
 
 def load_checkpoint(path: str, target: Any = None):

@@ -145,6 +145,11 @@ class ShmVectorEnv:
     def current_episodes(self) -> List[int]:
         return list(self._episode_ids)
 
+    def number_of_episodes(self) -> List[Optional[int]]:
+        """Interface parity with VectorEnv.number_of_episodes: the shm
+        workers run unbounded generators, so availability is unlimited."""
+        return [None] * self.num_envs
+
     def _decode(self) -> tuple:
         cfg = self.cfg
         hw = cfg.image_h * cfg.image_w

@@ -323,6 +323,12 @@ class VectorEnv:
     def current_episodes(self):
         return [(getattr(e, "_episode_id", 0)) for e in self.envs]
 
+    def number_of_episodes(self) -> List[Optional[int]]:
+        """Per-env episode counts (habitat VectorEnv.number_of_episodes,
+        consumed by the reference eval loop ppo_trainer.py:635-646).
+        ``None`` marks an unbounded generator (the scripted world)."""
+        return [getattr(e, "number_of_episodes", None) for e in self.envs]
+
     def pause_at(self, idx: int) -> None:
         """Remove env idx from stepping, habitat.VectorEnv semantics
         (reference _pause_envs, base_trainer.py:383-425): indices of later
@@ -481,6 +487,10 @@ class HabitatNavEnv:
         self._env = habitat.Env(config=hab_cfg, dataset=dataset)
         self._env.seed(seed)
         self._episode_id = -1
+        # finite episode budget for the exact-set eval protocol
+        # (ppo_trainer.py:635-646 sums these across envs)
+        eps = getattr(dataset, "episodes", None)
+        self.number_of_episodes = len(eps) if eps is not None else None
 
     # -- pose bookkeeping ----------------------------------------------------
 
@@ -556,8 +566,20 @@ class HabitatNavEnv:
             "agent_yaw": float(2.0 * np.arctan2(cur_state[1][1], cur_state[1][3])),
             "goal_world": self.goal_position(),
             "episode_id": self._episode_id,
+            # the dataset-level identity of the episode just stepped — the
+            # exact-set eval protocol keys counted episodes by this, the
+            # reference's (scene_id, episode_id) dict key
+            # (ppo_trainer.py:663-672, 900-907)
+            "episode_key": self._episode_key(),
         }
         return self._convert_obs(obs), float(reward), done, info
+
+    def _episode_key(self):
+        ep = getattr(self._env, "current_episode", None)
+        if ep is None:
+            return None
+        return (str(getattr(ep, "scene_id", "")),
+                str(getattr(ep, "episode_id", self._episode_id)))
 
 
 # leaves whose silent loss would flip a Challenge-2020 run noise-free

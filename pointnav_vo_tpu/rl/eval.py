@@ -175,6 +175,54 @@ class EpisodeResult:
     episode_id: int = -1
 
 
+def episode_budgets(num_episodes: int, n_envs: int,
+                    available: Optional[List[Optional[int]]] = None):
+    """Split the eval quota into a FIXED per-env episode budget.
+
+    The reference evaluates an exact episode set: each env walks its own
+    (non-shuffled) episode-iterator partition, finished episodes are keyed
+    by (scene_id, episode_id) in a dict, and an env whose iterator cycles
+    back to an already-counted episode is paused
+    (ppo_trainer.py:635-672, 900-1022; base_trainer.py:383-425).  The
+    TPU-first expression of "pause" is masking — batch shapes stay static —
+    and the exact set is fixed up front: env i contributes exactly its
+    first ``budget[i]`` episodes, a deterministic distinct set, never a
+    completion-order sample (which with uneven episode lengths is biased
+    toward short/easy episodes).
+
+    ``available`` holds per-env episode counts (None = unbounded, e.g. the
+    scripted world).  The quota is clamped to total availability with a
+    warning, matching ppo_trainer.py:639-646, then round-robin waterfilled
+    so no env is asked for more episodes than its partition holds.
+
+    Returns ``(budgets, clamped_num_episodes)``.
+    """
+    caps = [(c if c is not None else num_episodes)
+            for c in (available if available is not None else [None] * n_envs)]
+    total_cap = sum(caps)
+    if total_cap < num_episodes:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "requested %d eval episodes but envs only hold %d; evaluating "
+            "all %d (reference ppo_trainer.py:639-646 semantics)",
+            num_episodes, total_cap, total_cap)
+        num_episodes = total_cap
+    budgets = [0] * n_envs
+    remaining = num_episodes
+    while remaining > 0:
+        progressed = False
+        for i in range(n_envs):
+            if remaining == 0:
+                break
+            if budgets[i] < caps[i]:
+                budgets[i] += 1
+                remaining -= 1
+                progressed = True
+        assert progressed, "waterfill stalled despite clamped quota"
+    return budgets, num_episodes
+
+
 class Evaluator:
     """Batched eval loop over a VectorEnv."""
 
@@ -258,8 +306,28 @@ class Evaluator:
         rank_top_k: int = 20,
         tb_writer=None,
     ) -> Dict[str, float]:
+        """Evaluate an EXACT set of ``num_episodes`` distinct episodes.
+
+        Env i contributes precisely its first ``budget[i]`` episodes (see
+        :func:`episode_budgets`); exhausted envs are masked, not shrunk
+        out of the batch, and the final set is asserted distinct — the
+        reference's paused-env protocol (ppo_trainer.py:1004-1072) with
+        TPU-friendly static shapes."""
         envs = self.envs
         n = envs.num_envs
+        # exact-episode-set protocol: fixed per-env budgets, not
+        # completion-order counting (see episode_budgets) — the reference's
+        # _pause_envs expressed as masking over a static batch
+        avail = getattr(envs, "number_of_episodes", None)
+        avail = avail() if callable(avail) else avail
+        budgets_l, num_episodes = episode_budgets(num_episodes, n, avail)
+        budgets = np.asarray(budgets_l, np.int64)
+        ep_counted = np.zeros(n, np.int64)
+        # active[i]: env i still owes counted episodes.  Exhausted envs keep
+        # stepping (static shapes; the device work is batched anyway) but are
+        # masked out of every metric/diagnostic accumulator below.
+        active = budgets > 0
+        counted_keys: set = set()
         obs = envs.reset()
         frames: List[np.ndarray] = []  # env 0 [rgb | map] frames for video
         map_renderer = None
@@ -325,7 +393,7 @@ class Evaluator:
             feats_cache = make_feats(obs_dev["rgb"], obs_dev["depth"],
                                      self.vo.cfg)
 
-        while len(results) < num_episodes:
+        while active.any():
             if not fused:
                 t0 = time.perf_counter()
                 self.rng, sub = jax.random.split(self.rng)
@@ -339,7 +407,10 @@ class Evaluator:
             t0 = time.perf_counter()
             new_obs, rewards, dones, infos = envs.step(actions_np)
             timing["env"] += time.perf_counter() - t0
-            steps += n
+            # only steps of counted episodes: an env deactivates exactly at
+            # the end of its last budgeted episode, so every active-step
+            # belongs to an episode that ends up in `results`
+            steps += int(active.sum())
             ep_steps += 1
             episode_rewards += rewards
 
@@ -409,7 +480,7 @@ class Evaluator:
                 delta_np = np.asarray(delta)
                 std_np = np.asarray(std)
                 gt = np.stack([i["gt_delta"] for i in infos])
-                live = ~dones
+                live = ~dones & active  # exhausted envs masked out
                 if ranked_img_dir and live.any() and "rgb" in new_obs:
                     errs = np.linalg.norm(delta_np - gt, axis=-1)
                     worst = int(np.argmax(np.where(live, errs, -1)))
@@ -445,7 +516,7 @@ class Evaluator:
                     )
                     est = np.asarray(est_pos)
                     for i, info in enumerate(infos):
-                        if not dones[i]:
+                        if active[i] and not dones[i]:
                             true_rel = np.asarray(info["agent_pos_episodic"])
                             d_i = float(np.linalg.norm(est[i] - true_rel))
                             drift.append(d_i)
@@ -486,8 +557,23 @@ class Evaluator:
             for i, d in enumerate(dones):
                 if not d:
                     continue
-                if len(results) < num_episodes:
+                if active[i]:
                     info = infos[i]
+                    # distinct-set guarantee (the reference's stats_episodes
+                    # dict keyed by (scene_id, episode_id)): a duplicate key
+                    # means the env's episode iterator cycled — counting it
+                    # would double-weight that episode
+                    # dataset-level keys (habitat scene_id/episode_id) are
+                    # GLOBAL — two envs finishing the same episode collide,
+                    # as in the reference dict; the fallback (scripted/shm
+                    # worlds: per-env monotonic counters) scopes by env index
+                    key = info.get("episode_key")
+                    key = ((i, int(info.get("episode_id", ep_counted[i])))
+                           if key is None else tuple(key))
+                    assert key not in counted_keys, (
+                        f"episode {key} finished twice during exact-set eval "
+                        "— env iterator cycled before its budget was met")
+                    counted_keys.add(key)
                     nan = float("nan")
                     results.append(EpisodeResult(
                         success=info["success"],
@@ -507,6 +593,11 @@ class Evaluator:
                     ))
                     if log_fn:
                         log_fn(len(results), results[-1])
+                    ep_counted[i] += 1
+                    if ep_counted[i] >= budgets[i]:
+                        # budget met: the TPU-first "pause" — this env keeps
+                        # stepping (static batch) but contributes nothing more
+                        active[i] = False
                 episode_rewards[i] = 0.0
                 ep_steps[i] = 0
                 ep_vo_sum[i] = ep_std_sum[i] = ep_vo_cnt[i] = 0
@@ -517,6 +608,13 @@ class Evaluator:
             masks = jnp.asarray(1.0 - dones.astype(np.float32))[:, None]
             if fused:
                 action = next_action
+
+        # exact-set postconditions (reference: len(stats_episodes) ==
+        # number_of_eval_episodes of DISTINCT dict keys,
+        # vo_cnn_...engine.py:1131-1142's exact-count assert)
+        assert len(results) == num_episodes, (
+            f"counted {len(results)} episodes, expected {num_episodes}")
+        assert len(counted_keys) == num_episodes, "episode keys not distinct"
 
         agg = {
             "episodes": float(len(results)),

@@ -76,6 +76,54 @@ def test_snapshot_taken_at_save_time(tmp_path):
                                   np.arange(4, dtype=np.float32))
 
 
+def test_snapshot_survives_buffer_donation(tmp_path):
+    """Regression for the backend-dependent np.asarray zero-copy hazard:
+    donate the SAME device buffer to a jitted step right after save() (the
+    engines' actual pattern — vo/engine.py donates variables/opt_state).
+    On CPU backends np.asarray(jax.Array) can alias device memory, so
+    without an owned copy the async writer would serialize the clobbered
+    buffer.  save() must hold values from save() time regardless."""
+    import jax
+
+    clobber_donated = jax.jit(lambda x: x * 0.0 - 7.0, donate_argnums=0)
+
+    w = AsyncCheckpointWriter()
+    x = jnp.arange(16, dtype=jnp.float32) + 1.0
+    p = str(tmp_path / "donated.pkl")
+    w.save(p, {"x": x})
+    y = clobber_donated(x)  # x's buffer is donated and overwritten
+    jax.block_until_ready(y)
+    w.close()
+    loaded, _ = load_checkpoint(p)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["x"]), np.arange(16, dtype=np.float32) + 1.0)
+
+
+def test_context_manager_drains_on_exception(tmp_path):
+    """An exception in the train loop must not abandon queued checkpoints
+    (engines.py wraps its loops in `with AsyncCheckpointWriter()`)."""
+    p = str(tmp_path / "ckpt_last.pkl")
+    with pytest.raises(ValueError, match="boom"):
+        with AsyncCheckpointWriter() as w:
+            w.save(p, _tree(5), metadata={"i": 5})
+            raise ValueError("boom")
+    assert os.path.isfile(p)
+    _, meta = load_checkpoint(p)
+    assert meta["i"] == 5
+
+
+def test_drain_quietly_returns_error(tmp_path):
+    """Preemption path: a failed periodic write is returned, not raised,
+    so the interrupted-state save + requeue still run (engines.py)."""
+    w = AsyncCheckpointWriter()
+    bad_dir = tmp_path / "not_a_dir"
+    bad_dir.write_text("file, not directory")
+    w.save(str(bad_dir / "ckpt.pkl"), _tree(0))
+    err = w.drain_quietly()
+    assert isinstance(err, Exception)
+    w.close()  # error was consumed; close() must not re-raise
+
+
 def test_write_error_surfaces(tmp_path):
     w = AsyncCheckpointWriter()
     bad_dir = tmp_path / "not_a_dir"

@@ -63,6 +63,52 @@ def test_rl_engine_checkpoint_sweep(tmp_path):
           "EVAL.TEST_EPISODE_COUNT", "2"] + overrides)
 
 
+def test_eval_waits_for_checkpoints(tmp_path):
+    """EVAL.WAIT_FOR_CKPTS > 0: the sweep polls the folder until that many
+    checkpoints have been evaluated, picking up files a live trainer writes
+    AFTER the sweep starts (base_trainer.py:76-153's companion-eval driver).
+    """
+    import threading
+    import time
+
+    from pointnav_vo_tpu.config.defaults import get_rl_config
+    from pointnav_vo_tpu.engines import _BaseRLEngine
+
+    ckpt_dir = tmp_path / "ckpts"
+    ckpt_dir.mkdir()
+    (ckpt_dir / "ckpt_0.pkl").write_bytes(b"placeholder")
+
+    cfg = get_rl_config(opts=[
+        "EVAL.EVAL_CKPT_PATH", str(ckpt_dir),
+        "EVAL.WAIT_FOR_CKPTS", "3",
+        "EVAL.CKPT_POLL_INTERVAL_S", "0.05",
+    ])
+
+    eng = object.__new__(_BaseRLEngine)
+    eng.config = cfg
+    import logging
+
+    eng.logger = logging.getLogger("test_poll")
+    evaluated = []
+    eng._eval_checkpoint = lambda p, n=None: evaluated.append(p) or {"ok": 1.0}
+
+    def trainer_writes():
+        # simulate a trainer producing checkpoints while eval runs
+        time.sleep(0.15)
+        (ckpt_dir / "ckpt_1.pkl").write_bytes(b"placeholder")
+        time.sleep(0.15)
+        (ckpt_dir / "ckpt_2.pkl").write_bytes(b"placeholder")
+
+    t = threading.Thread(target=trainer_writes)
+    t.start()
+    results = eng.eval()
+    t.join()
+    assert sorted(results) == ["ckpt_0.pkl", "ckpt_1.pkl", "ckpt_2.pkl"]
+    # mtime order preserved across polls
+    assert [os.path.basename(p) for p in evaluated] == [
+        "ckpt_0.pkl", "ckpt_1.pkl", "ckpt_2.pkl"]
+
+
 def test_per_episode_results_and_steps():
     """EpisodeResult.steps is the episode's OWN length (VERDICT r2 weak #5)
     and per-episode VO means are finite; Evaluator.results exposes the raw
