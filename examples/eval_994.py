@@ -1,0 +1,217 @@
+#!/usr/bin/env python
+"""The reference's headline workload, measured end to end on the host loop.
+
+The reference evaluates 994 Gibson-val episodes in ~4.5 h on a Xeon +
+GTX 1080 Ti (reference README.md:84): per-env batch-1 VO forwards in Python
+plus serial simulator stepping.  This script runs the SAME protocol shape —
+994 distinct episodes (exact-episode-set budgets), 32 shm process-worker
+envs at full 341x192 resolution, deterministic VO through the fused
+mega-step, videos off — as one real `Evaluator.run(994)` call, and records
+wall-clock, per-phase timings, and navigation/VO metrics to `EVAL_994.json`.
+
+This is a HOST-LOOP measurement, not a device-step extrapolation: the shm
+env farm, observation shipping, metric aggregation, and episode accounting
+are all on the clock.  Note the dev-box caveat: the TPU here sits behind a
+network tunnel whose host->device path re-lays-out every fresh buffer, so
+per-step ship costs are an infrastructure artifact a production host (local
+PCIe) would not pay; the JSON records both the raw wall-clock and the
+device-phase decomposition so the two limits are separable.
+
+Phase 1 trains the three VO experts on scripted-world pairs first (the
+evaluated VO is a real trained model, not random weights); its cost is
+reported separately and is NOT part of the eval wall-clock.
+
+Usage:
+  python examples/eval_994.py                    # the committed artifact run
+  python examples/eval_994.py --episodes 64 --envs 8 --pairs 800  # smoke
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pointnav_vo_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import flax.linen as nn  # noqa: E402
+
+from pointnav_vo_tpu.common import MOVE_FORWARD, TURN_LEFT, TURN_RIGHT  # noqa: E402
+from pointnav_vo_tpu.rl.envs import EnvConfig  # noqa: E402
+from pointnav_vo_tpu.rl.eval import Evaluator  # noqa: E402
+from pointnav_vo_tpu.vo.dataset import (  # noqa: E402
+    FramePairReader,
+    generate_scripted_dataset,
+)
+from pointnav_vo_tpu.vo.engine import VORegressionEngine, VOTrainConfig  # noqa: E402
+from pointnav_vo_tpu.vo.ensemble import (  # noqa: E402
+    VOEnsemble,
+    VOInferenceConfig,
+    stack_expert_variables,
+)
+
+REFERENCE_EVAL_MIN = 4.5 * 60  # reference README.md:84
+
+
+class GreedyGoalPolicy(nn.Module):
+    """Navigates by the VO-propagated polar goal only (no GPS): the
+    challenge-agent decision rule, so navigation quality reflects the
+    trained VO, and the policy itself costs ~nothing on device."""
+
+    turn_angle_deg: float = 30.0
+    success_distance: float = 0.36
+
+    @property
+    def num_packed_hidden(self):
+        return 1
+
+    def initial_hidden(self, num_envs):
+        return jnp.zeros((1, num_envs, 1))
+
+    @nn.compact
+    def __call__(self, observations, hidden, prev_actions, masks,
+                 update_stats=False):
+        goal = observations["pointgoal_with_gps_compass"]
+        rho, neg_phi = goal[:, 0], goal[:, 1]
+        bearing = -neg_phi
+        half = np.radians(self.turn_angle_deg) / 2
+        action = jnp.where(
+            rho < self.success_distance, 0,
+            jnp.where(jnp.abs(bearing) > half, jnp.where(bearing < 0, 2, 3), 1),
+        )
+        return (jax.nn.one_hot(action, 4) * 100.0,
+                jnp.zeros((goal.shape[0], 1)), hidden)
+
+
+def train_expert(icfg, tcfg, train_h5, eval_h5, w, h, label):
+    tr = FramePairReader(train_h5, w, h, act_type=tcfg.action_type,
+                         geo_invariance_types=tcfg.geo_invariance_types)
+    ev = FramePairReader(eval_h5, w, h, act_type=tcfg.action_type,
+                         geo_invariance_types=tcfg.geo_invariance_types)
+    eng = VORegressionEngine(icfg, tcfg, tr, ev)
+    print(f"[{label}] {len(tr)} train pairs", flush=True)
+    for _ in range(tcfg.epochs):
+        eng.train_epoch()
+    final = eng.evaluate()
+    print(f"[{label}] eval abs (dx, dz, dyaw) = ({final['abs_diff_dx']:.4f}, "
+          f"{final['abs_diff_dz']:.4f}, {final['abs_diff_dyaw']:.4f})",
+          flush=True)
+    return eng.variables, {k: float(v) for k, v in final.items()}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--episodes", type=int, default=994)
+    ap.add_argument("--envs", type=int, default=32)
+    ap.add_argument("--pairs", type=int, default=6000)
+    ap.add_argument("--eval-pairs", type=int, default=384)
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--max-episode-steps", type=int, default=120,
+                    help="scripted rooms are 3-8 m, solvable well inside "
+                         "120 steps; the Challenge's 500 only pads failures")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "EVAL_994.json"))
+    args = ap.parse_args()
+
+    env_cfg = EnvConfig(max_episode_steps=args.max_episode_steps,
+                        actuation_noise_multiplier=0.5)
+    h, w = env_cfg.image_h, env_cfg.image_w
+    icfg = VOInferenceConfig(vis_size_w=w, vis_size_h=h, dtype=jnp.bfloat16)
+
+    # ---- phase 1: train the deployment VO (full resolution) ---------------
+    t0 = time.perf_counter()
+    workdir = tempfile.mkdtemp(prefix="eval994_")
+    train_h5 = os.path.join(workdir, "train.h5")
+    eval_h5 = os.path.join(workdir, "eval.h5")
+    print(f"generating {args.pairs}+{args.eval_pairs} pairs at {w}x{h} ...",
+          flush=True)
+    generate_scripted_dataset(train_h5, args.pairs, env_cfg=env_cfg, seed=0)
+    generate_scripted_dataset(eval_h5, args.eval_pairs, env_cfg=env_cfg,
+                              seed=99_999)
+    t_data = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    fwd_vars, fwd_stats = train_expert(
+        icfg, VOTrainConfig(batch_size=args.batch, epochs=args.epochs,
+                            action_type=MOVE_FORWARD, lr=2.5e-4),
+        train_h5, eval_h5, w, h, "forward")
+    joint_vars, joint_stats = train_expert(
+        icfg, VOTrainConfig(batch_size=args.batch, epochs=args.epochs,
+                            action_type=(TURN_LEFT, TURN_RIGHT),
+                            geo_invariance_types=("inverse_joint_train",),
+                            lr=1.5e-4),
+        train_h5, eval_h5, w, h, "joint left/right")
+    t_train = time.perf_counter() - t0
+
+    fwd = jax.tree.map(lambda x: x[0], fwd_vars)
+    left = jax.tree.map(lambda x: x[0], joint_vars)
+    right = jax.tree.map(lambda x: x[1], joint_vars)
+    ensemble = VOEnsemble(icfg, stack_expert_variables([fwd, left, right]))
+
+    # ---- phase 2: the 994-episode eval on the shm env farm ----------------
+    from pointnav_vo_tpu.native.shm_env import ShmVectorEnv
+
+    envs = ShmVectorEnv(env_cfg, args.envs, seed=777)
+    try:
+        policy = GreedyGoalPolicy(turn_angle_deg=env_cfg.turn_angle_deg,
+                                  success_distance=env_cfg.success_distance)
+        ev = Evaluator(model=policy, variables={"params": {}}, envs=envs,
+                       vo_ensemble=ensemble, rng=jax.random.PRNGKey(3))
+
+        t_start = time.perf_counter()
+
+        def progress(k, r):
+            if k % 50 == 0 or k == args.episodes:
+                el = time.perf_counter() - t_start
+                print(f"  {k}/{args.episodes} episodes | {el/60:.1f} min | "
+                      f"proj {el / k * args.episodes / 60:.1f} min",
+                      flush=True)
+
+        print(f"\nevaluating {args.episodes} episodes over {args.envs} shm "
+              f"envs at {w}x{h}, det VO, videos off ...", flush=True)
+        agg = ev.run(args.episodes, log_fn=progress)
+        wall_s = time.perf_counter() - t_start
+    finally:
+        envs.close()
+
+    out = {
+        "protocol": "exact-episode-set (per-env budgets, distinct keys)",
+        "episodes": args.episodes,
+        "envs": args.envs,
+        "backend": "shm process workers (scripted world)",
+        "resolution": [h, w],
+        "vo": "det, fused mega-step, 3 trained experts, bf16",
+        "eval_wall_clock_min": wall_s / 60,
+        "vs_reference_min": REFERENCE_EVAL_MIN,
+        "speedup_vs_reference": REFERENCE_EVAL_MIN / (wall_s / 60),
+        "metrics": {k: float(v) for k, v in agg.items()},
+        "mean_episode_steps": float(agg["total_env_steps"]) / args.episodes,
+        "vo_train": {"dataset_gen_s": t_data, "train_s": t_train,
+                     "pairs": args.pairs, "epochs": args.epochs,
+                     "forward_eval": fwd_stats, "joint_eval": joint_stats},
+        "host_caveat": ("dev box drives the TPU through a network tunnel; "
+                        "per-step host->device shipping dominates the wall "
+                        "clock and disappears on a production host with "
+                        "local PCIe"),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"\nwall-clock {wall_s/60:.1f} min for {args.episodes} episodes "
+          f"({REFERENCE_EVAL_MIN/(wall_s/60):.1f}x vs the reference's 270 min)")
+    print(f"success {agg['success']:.3f} | spl {agg['spl']:.3f} | "
+          f"softspl {agg['softspl']:.3f} | vo_l2 {agg.get('vo_l2_mean', float('nan')):.4f}")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,54 @@ def test_slurm_first_host_expansion(nodelist, first):
     assert pm.slurm_first_host(nodelist) == first
 
 
+@pytest.mark.slow
+def test_real_two_process_rendezvous():
+    """Two REAL processes (VERDICT r3 item 4): coordinator on 127.0.0.1,
+    init_distributed() from env vars, a psum over the 4-device global mesh,
+    and one sharded VO train step whose pmean'd loss must agree across
+    ranks.  Proves the wiring the monkeypatched tests above can't."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    child = os.path.join(os.path.dirname(__file__), "_distributed_child.py")
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.update({
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "SLURM_NTASKS": "2",
+            "SLURM_PROCID": str(rank),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, child], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for rank, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+    for rank, out in enumerate(outs):
+        assert f"RENDEZVOUS rank={rank} procs=2 devices=4" in out, out
+        assert f"PSUM rank={rank} total=6.0" in out, out
+        assert f"DONE rank={rank}" in out, out
+    # both ranks computed the identical loss
+    l0 = [ln for ln in outs[0].splitlines() if ln.startswith("DONE")][0]
+    l1 = [ln for ln in outs[1].splitlines() if ln.startswith("DONE")][0]
+    assert l0.split("loss=")[1] == l1.split("loss=")[1]
+
+
 def _write_chunked_pairs(path, n_chunks, entries_per_chunk, h=4, w=4, seed=0):
     import h5py
     import numpy as np
