@@ -14,7 +14,12 @@ import numpy as np
 import torch
 import torch.nn as nn
 
-_REF = "/root/reference/pointnav_vo"
+import os
+
+# tools/verify_reference_ckpts.py reuses these oracles against a
+# user-supplied clone of the reference repo
+_REF = os.path.join(os.environ.get("POINTNAV_VO_REFERENCE_ROOT",
+                                   "/root/reference"), "pointnav_vo")
 
 
 def _load(name, rel):
