@@ -43,7 +43,10 @@ def main() -> None:
         stack_expert_variables,
     )
 
-    cfg = VOInferenceConfig(dtype=jnp.bfloat16)
+    # BENCH_CACHE_DTYPE=int8 A/Bs the quantized feature cache (PERF.md)
+    cfg = VOInferenceConfig(
+        dtype=jnp.bfloat16,
+        cache_dtype=os.environ.get("BENCH_CACHE_DTYPE", "native"))
     model = cfg.make_model()
     h, w = cfg.vis_size_h, cfg.vis_size_w
 

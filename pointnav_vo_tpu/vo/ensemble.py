@@ -59,6 +59,13 @@ class VOInferenceConfig:
     mode: str = "det"  # "det" | "rnd"
     rnd_mode_n: int = 10
     dtype: Any = jnp.float32
+    # "native": the packed feature cache is stored in ``dtype``.
+    # "int8": the cache is quantized to int8 (values are all in [0, 1]:
+    # rgb/255, normalized depth, one-hot dd bins, normalized top-down
+    # counts — scale 127), halving cache HBM traffic; the per-bucket
+    # selection einsum runs s8 x s8 -> s32 and dequantizes into the stem.
+    # Lossy (~1/127 quantization on depth/top-down); opt-in.
+    cache_dtype: str = "native"
 
     @property
     def topdown_params(self) -> TopDownParams:
@@ -210,7 +217,11 @@ _PACK_ORDER = ("rgb", "depth", "discretized_depth", "top_down_view")
 
 def pack_frame_features(feats: Dict[str, jax.Array], cfg) -> jax.Array:
     """Pack per-frame features into ONE [B, H, W, C] block in the model's
-    stem channel order, rgb pre-scaled by 1/255."""
+    stem channel order, rgb pre-scaled by 1/255.
+
+    With ``cfg.cache_dtype == "int8"`` the block is quantized to int8
+    (scale 127; every channel lives in [0, 1]) — the feature CACHE then
+    costs half the HBM bytes of bf16 per selection-einsum read."""
     parts = []
     for k in _PACK_ORDER:
         if k in feats:
@@ -218,7 +229,11 @@ def pack_frame_features(feats: Dict[str, jax.Array], cfg) -> jax.Array:
             if k == "rgb":
                 v = v / 255.0
             parts.append(v)
-    return jnp.concatenate(parts, axis=-1)
+    pack = jnp.concatenate(parts, axis=-1)
+    if getattr(cfg, "cache_dtype", "native") == "int8":
+        pack = jnp.clip(jnp.round(pack.astype(jnp.float32) * 127.0),
+                        0, 127).astype(jnp.int8)
+    return pack
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -301,6 +316,13 @@ def select_rows_onehot(v: jax.Array, idx: jax.Array, batch: int) -> jax.Array:
     outputs are zeros (callers scatter them to a dropped overflow row).
     """
     sel = jax.nn.one_hot(idx, batch, dtype=jnp.float32)  # [C, B]
+    if v.dtype == jnp.int8:
+        # int8 cache path: s8 x s8 -> s32 on the MXU, exact (0/1 selector,
+        # one nonzero product per output); caller dequantizes
+        return jnp.einsum(
+            "cb,b...->c...", sel.astype(jnp.int8), v,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.int8)
     if v.dtype == jnp.bfloat16:
         return jnp.einsum(
             "cb,b...->c...", sel.astype(jnp.bfloat16), v,
@@ -406,6 +428,9 @@ def _det_bucketed(model, cfg, variables, obs_pairs, bucket_idx,
         def run_bucket(idx=idx, e=e):
             if packed:
                 sub = select_rows_onehot(obs_pairs, idx, batch)
+                if sub.dtype == jnp.int8:  # dequantize the int8 cache
+                    sub = sub.astype(cfg.dtype) * jnp.asarray(
+                        1.0 / 127.0, cfg.dtype)
             else:
                 sub = {k: select_rows_onehot(v, idx, batch)
                        for k, v in obs_pairs.items()}

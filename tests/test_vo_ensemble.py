@@ -298,3 +298,62 @@ def test_predict_step_cached_packed_cache_roundtrip():
                           actions)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(ref1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(d2), np.asarray(ref2), atol=1e-6)
+
+
+def test_int8_feature_cache_close_to_native():
+    """cache_dtype="int8" (PERF experiment: halve selection-einsum HBM
+    traffic): quantized-cache deltas must track the native-cache path to
+    quantization scale, and the cache really is int8."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from pointnav_vo_tpu.vo.ensemble import (
+        VOEnsemble,
+        VOInferenceConfig,
+        stack_expert_variables,
+    )
+
+    h = w = 32
+    rng = np.random.default_rng(0)
+
+    def build(cache_dtype):
+        cfg = VOInferenceConfig(vis_size_w=w, vis_size_h=h,
+                                cache_dtype=cache_dtype)
+        model = cfg.make_model()
+        dummy = {
+            "rgb": jnp.zeros((1, h, w, 6)), "depth": jnp.zeros((1, h, w, 2)),
+            "discretized_depth": jnp.zeros((1, h, w, 20)),
+            "top_down_view": jnp.zeros((1, h, w, 2)),
+        }
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), dummy, train=False))
+        one = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype) + 0.01, shapes)
+        return VOEnsemble(cfg, stack_expert_variables([one, one, one]))
+
+    prev_rgb = jnp.asarray(rng.uniform(0, 255, (8, h, w, 3)), jnp.float32)
+    cur_rgb = jnp.asarray(rng.uniform(0, 255, (8, h, w, 3)), jnp.float32)
+    prev_depth = jnp.asarray(rng.uniform(0, 1, (8, h, w, 1)), jnp.float32)
+    cur_depth = jnp.asarray(rng.uniform(0, 1, (8, h, w, 1)), jnp.float32)
+    actions = np.asarray([1, 1, 2, 3, 1, 2, 3, 1], np.int32)
+
+    from pointnav_vo_tpu.vo.ensemble import frame_features_packed
+
+    deltas = {}
+    for cache_dtype in ("native", "int8"):
+        ens = build(cache_dtype)
+        feats = frame_features_packed(prev_rgb, prev_depth, ens.cfg)
+        if cache_dtype == "int8":
+            assert feats.dtype == jnp.int8
+        delta, feats2 = ens.predict_step_cached(
+            feats, cur_rgb, cur_depth, actions)
+        if cache_dtype == "int8":
+            assert feats2.dtype == jnp.int8  # returned cache stays quantized
+        deltas[cache_dtype] = np.asarray(delta)
+
+    # identical-weight forward on 1/127-quantized inputs: small, bounded
+    diff = np.abs(deltas["int8"] - deltas["native"]).max()
+    assert diff < 0.05, diff
+    assert np.isfinite(deltas["int8"]).all()
