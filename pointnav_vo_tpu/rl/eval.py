@@ -75,6 +75,10 @@ def fused_vo_act_step(
     expert_ids=None,
     prev_feats=None,
     mesh=None,
+    est_rot=None,
+    est_pos=None,
+    est_seed_rot=None,
+    est_seed_pos=None,
 ):
     """The SURVEY §7 "one jitted mega-step": VO preprocess + expert forward
     + goal propagation + policy act fused into a single XLA program — one
@@ -93,6 +97,13 @@ def fused_vo_act_step(
     depth discretization run exactly once per trajectory.  The returned
     ``cur_feats`` must be fed back on the next call (with rows where an
     episode ended replaced by freshly computed features — the caller masks).
+
+    When ``est_rot``/``est_pos`` are given, the dead-reckoned global pose
+    (compute_global_state, the drift diagnostic of ppo_trainer.py:763-783)
+    is integrated INSIDE this program (re-seeded where ``reset_mask`` fires)
+    and ``(new_est_rot, new_est_pos)`` are appended to the return tuple —
+    one program per step instead of two, so the host pays a single dispatch
+    and a single packed read-back per step (see Evaluator.run).
     """
     from pointnav_vo_tpu.models.policy import action_log_prob
     from pointnav_vo_tpu.vo.ensemble import (
@@ -149,8 +160,14 @@ def fused_vo_act_step(
     )
     action = mode_action(logits) if deterministic else sample_action(act_rng, logits)
     logp = action_log_prob(logits, action)
-    return (goal_cart, polar, delta, std, value, action.astype(jnp.int32), logp,
-            new_hidden, cur_feats)
+    out = (goal_cart, polar, delta, std, value, action.astype(jnp.int32), logp,
+           new_hidden, cur_feats)
+    if est_rot is not None:
+        new_rot, new_pos = geo.compute_global_state(est_rot, est_pos, delta)
+        new_rot = jnp.where(reset_mask > 0, est_seed_rot, new_rot)
+        new_pos = jnp.where(reset_mask > 0, est_seed_pos, new_pos)
+        out = out + (new_rot, new_pos)
+    return out
 
 
 @dataclasses.dataclass
@@ -341,8 +358,14 @@ class Evaluator:
         use_vo = self.vo is not None or self.vo_fn is not None
         sensor0 = jnp.asarray(obs["pointgoal_with_gps_compass"])
         goal_cart = geo.pointgoal_polar2cartesian(sensor0)
-        est_rot = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (n, 1))
-        est_pos = jnp.zeros((n, 3))
+        est_seed_rot = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (n, 1))
+        est_seed_pos = jnp.zeros((n, 3))
+        est_rot, est_pos = est_seed_rot, est_seed_pos
+        est = None  # host copy of est_pos (packed fetch, fused path)
+        # host copy of the NEXT step's actions, read back as part of the
+        # fused step's single packed device_get (below) — the loop top then
+        # never blocks on a separate action fetch
+        next_actions_np: Optional[np.ndarray] = None
 
         obs_dev = self._to_device(obs)
         episode_rewards = np.zeros(n)
@@ -356,7 +379,8 @@ class Evaluator:
         # separable — that time is reported honestly as one "device" phase
         # (time_device_s) with time_act_s/time_vo_s = 0, instead of lumping
         # it under "vo" (VERDICT r2 weak #6).
-        timing = {"act": 0.0, "env": 0.0, "vo": 0.0, "device": 0.0}
+        timing = {"act": 0.0, "env": 0.0, "vo": 0.0, "device": 0.0,
+                  "transfer": 0.0}
         steps = 0
         # per-episode accumulators (episode length + live-step VO means)
         ep_steps = np.zeros(n, np.int64)
@@ -402,7 +426,8 @@ class Evaluator:
                     sub, deterministic=self.deterministic,
                 )
                 timing["act"] += time.perf_counter() - t0
-            actions_np = np.asarray(action[:, 0])
+            actions_np = (next_actions_np if next_actions_np is not None
+                          else np.asarray(action[:, 0]))
 
             t0 = time.perf_counter()
             new_obs, rewards, dones, infos = envs.step(actions_np)
@@ -414,7 +439,9 @@ class Evaluator:
             ep_steps += 1
             episode_rewards += rewards
 
+            t0 = time.perf_counter()
             new_obs_dev = self._to_device(new_obs)
+            timing["transfer"] += time.perf_counter() - t0
             if use_vo:
                 t0 = time.perf_counter()
                 reset = jnp.asarray(dones.astype(np.float32))[:, None]
@@ -455,8 +482,14 @@ class Evaluator:
                             buckets = tuple(
                                 jax.device_put(b, sh) for b in buckets_np)
                             expert_ids = jax.device_put(orders, sh)
-                    (goal_cart, polar, delta, std, _value, next_action, _lp,
-                     hidden, feats_cache) = fused_vo_act_step(
+                    # drift integration rides inside the fused program when
+                    # the env exposes poses: one program per step, not two
+                    drift_on = "agent_pos" in infos[0]
+                    est_kwargs = (dict(est_rot=est_rot, est_pos=est_pos,
+                                       est_seed_rot=est_seed_rot,
+                                       est_seed_pos=est_seed_pos)
+                                  if drift_on else {})
+                    fused_out = fused_vo_act_step(
                         self.model, self.vo.model, self.vo.cfg,
                         self.variables, self.vo.variables,
                         obs_dev["rgb"], obs_dev["depth"],
@@ -468,17 +501,38 @@ class Evaluator:
                         expert_ids=expert_ids,
                         prev_feats=feats_cache,
                         mesh=self.mesh,
+                        **est_kwargs,
                     )
+                    (goal_cart, polar, delta, std, _value, next_action, _lp,
+                     hidden, feats_cache) = fused_out[:9]
+                    if drift_on:
+                        est_rot, est_pos = fused_out[9:]
+                    # ONE packed read-back per step: everything the host
+                    # bookkeeping needs leaves the device in a single
+                    # device_get instead of one blocking fetch per array
+                    # (each np.asarray is a full host<->device round trip —
+                    # on a tunneled dev box several ms each).  det mode's
+                    # std is zeros by construction, so it isn't shipped.
+                    det_mode = self.vo.cfg.mode == "det"
+                    pack = [delta, next_action]
+                    if not det_mode:
+                        pack.append(std)
+                    if drift_on:
+                        pack.append(est_pos)
+                    fetched = jax.device_get(tuple(pack))
+                    delta_np = np.asarray(fetched[0])
+                    next_actions_np = np.asarray(fetched[1])[:, 0]
+                    std_np = (np.zeros_like(delta_np) if det_mode
+                              else np.asarray(fetched[2]))
+                    est = np.asarray(fetched[-1]) if drift_on else None
                 else:
                     delta, std = self._vo_delta(obs_dev, new_obs_dev,
                                                 actions_np, infos)
                     goal_cart, polar = propagate_goal(goal_cart, delta, reset, sensor)
+                    delta_np = np.asarray(delta)
+                    std_np = np.asarray(std)
                 new_obs_dev = dict(new_obs_dev)
                 new_obs_dev["pointgoal_with_gps_compass"] = polar
-
-                # diagnostics (host)
-                delta_np = np.asarray(delta)
-                std_np = np.asarray(std)
                 gt = np.stack([i["gt_delta"] for i in infos])
                 live = ~dones & active  # exhausted envs masked out
                 if ranked_img_dir and live.any() and "rgb" in new_obs:
@@ -509,12 +563,12 @@ class Evaluator:
 
                 # dead-reckoning drift vs true pose (when the env exposes it)
                 if "agent_pos" in infos[0]:
-                    est_rot, est_pos = _integrate_global(
-                        est_rot, est_pos, delta, reset,
-                        jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (n, 1)),
-                        jnp.zeros((n, 3)),
-                    )
-                    est = np.asarray(est_pos)
+                    if not fused:  # fused: integrated in-program, est fetched
+                        est_rot, est_pos = _integrate_global(
+                            est_rot, est_pos, delta, reset,
+                            est_seed_rot, est_seed_pos,
+                        )
+                        est = np.asarray(est_pos)
                     for i, info in enumerate(infos):
                         if active[i] and not dones[i]:
                             true_rel = np.asarray(info["agent_pos_episodic"])
@@ -631,6 +685,11 @@ class Evaluator:
             # fused mode: act+vo run as one mega-step; their combined device
             # time is here (act/vo stay 0 rather than misattributing it)
             "time_device_s": timing["device"],
+            # host->device obs shipping DISPATCH time.  NB: jnp.asarray is
+            # asynchronous — the actual copy mostly completes while the host
+            # waits inside the fused fetch, so on a slow link the transfer
+            # cost surfaces in time_device_s, not here
+            "time_transfer_s": timing["transfer"],
         }
         # raw per-episode records for the {ckpt}.infos.p dump
         # (base_trainer.py:139-148) and offline ranked analysis

@@ -45,6 +45,11 @@ def test_fused_matches_unfused():
                                    atol=1e-5, err_msg=key)
     np.testing.assert_allclose(results[True]["vo_l2_mean"],
                                results[False]["vo_l2_mean"], rtol=1e-4)
+    # drift integrates IN-PROGRAM on the fused path (one dispatch/step) and
+    # on the host via _integrate_global on the unfused path — both must
+    # produce the same dead-reckoning diagnostic
+    np.testing.assert_allclose(results[True]["global_drift_mean"],
+                               results[False]["global_drift_mean"], rtol=1e-4)
 
 
 def test_mesh_sharded_eval_matches_single_device():
