@@ -216,10 +216,18 @@ class ShmVectorEnv:
             ) from cause
         raise cause
 
-    def step(self, actions: Sequence[int]):
+    def step_async(self, actions: Sequence[int]) -> None:
+        """Push actions to the workers and return immediately — the env
+        farm simulates while the caller does host work (the Evaluator's
+        per-step diagnostics ride here).  One outstanding step at most:
+        ``step_wait`` must be called before the next ``step_async``.  A
+        dangling async step at loop exit is harmless — the un-popped obs
+        occupies one of the ring's slots and ``close()`` still proceeds."""
         for ring, a in zip(self._act_rings, actions):
             self._act[0] = float(a)
             ring.push(self._act)
+
+    def step_wait(self):
         try:
             for i, ring in enumerate(self._obs_rings):
                 ring.pop_into(self._payload[i])
@@ -230,6 +238,10 @@ class ShmVectorEnv:
             if done:
                 self._episode_ids[i] += 1
         return out
+
+    def step(self, actions: Sequence[int]):
+        self.step_async(actions)
+        return self.step_wait()
 
     def close(self) -> None:
         for ring in self._act_rings:

@@ -320,6 +320,17 @@ class VectorEnv:
             infos,
         )
 
+    def step_async(self, actions: Sequence[int]) -> None:
+        """API parity with ShmVectorEnv's push/pop split.  In-process envs
+        have no worker to hand off to, so the actions are only buffered and
+        the step itself runs in ``step_wait`` — keeping sim time inside the
+        caller's env-phase clock, where it belongs."""
+        self._pending_actions = list(actions)
+
+    def step_wait(self):
+        actions, self._pending_actions = self._pending_actions, None
+        return self.step(actions)
+
     def current_episodes(self):
         return [(getattr(e, "_episode_id", 0)) for e in self.envs]
 

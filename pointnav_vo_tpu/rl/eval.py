@@ -366,6 +366,12 @@ class Evaluator:
         # fused step's single packed device_get (below) — the loop top then
         # never blocks on a separate action fetch
         next_actions_np: Optional[np.ndarray] = None
+        # overlap env simulation with host diagnostics: once the packed
+        # fetch lands, next step's actions go to the env farm immediately
+        # (step_async) and the per-step numpy bookkeeping runs WHILE the
+        # workers simulate; step_wait at the loop top collects the result
+        can_async = hasattr(envs, "step_async")
+        pending_step = False
 
         obs_dev = self._to_device(obs)
         episode_rewards = np.zeros(n)
@@ -430,7 +436,15 @@ class Evaluator:
                           else np.asarray(action[:, 0]))
 
             t0 = time.perf_counter()
-            new_obs, rewards, dones, infos = envs.step(actions_np)
+            if pending_step:
+                # actions were pushed to the env farm before last step's
+                # diagnostics ran (step_async below) — collect the result;
+                # the sim time left here is only what the host work didn't
+                # already cover
+                new_obs, rewards, dones, infos = envs.step_wait()
+                pending_step = False
+            else:
+                new_obs, rewards, dones, infos = envs.step(actions_np)
             timing["env"] += time.perf_counter() - t0
             # only steps of counted episodes: an env deactivates exactly at
             # the end of its last budgeted episode, so every active-step
@@ -525,6 +539,14 @@ class Evaluator:
                     std_np = (np.zeros_like(delta_np) if det_mode
                               else np.asarray(fetched[2]))
                     est = np.asarray(fetched[-1]) if drift_on else None
+                    if can_async:
+                        # the env farm starts simulating the next step NOW;
+                        # everything below (diagnostics, accounting, video)
+                        # overlaps with it.  If the loop ends this iteration
+                        # the extra pushed step is dangling but harmless —
+                        # see ShmVectorEnv.step_async.
+                        envs.step_async(next_actions_np)
+                        pending_step = True
                 else:
                     delta, std = self._vo_delta(obs_dev, new_obs_dev,
                                                 actions_np, infos)

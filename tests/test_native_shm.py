@@ -49,6 +49,35 @@ def test_shm_worker_death_is_reported():
         shm.close()
 
 
+def test_shm_step_async_split_matches_step_and_tolerates_dangling():
+    """step_async+step_wait == step, and a dangling async step (pushed but
+    never collected — the Evaluator's loop-exit case) must not deadlock
+    close()."""
+    from pointnav_vo_tpu.native.shm_env import ShmVectorEnv
+
+    cfg = EnvConfig(image_h=8, image_w=8, max_episode_steps=10)
+    a = ShmVectorEnv(cfg, num_envs=2, seed=11)
+    b = ShmVectorEnv(cfg, num_envs=2, seed=11)
+    try:
+        a.reset()
+        b.reset()
+        rng = np.random.default_rng(3)
+        for _ in range(8):
+            actions = rng.integers(1, 4, size=2)
+            o_a, r_a, d_a, i_a = a.step(actions)
+            b.step_async(actions)
+            o_b, r_b, d_b, i_b = b.step_wait()
+            np.testing.assert_allclose(r_b, r_a, atol=1e-6)
+            np.testing.assert_array_equal(d_b, d_a)
+            for k in o_a:
+                np.testing.assert_allclose(o_b[k], o_a[k], atol=1e-6, err_msg=k)
+        # dangling step: push without collecting, then close
+        b.step_async([1, 1])
+    finally:
+        a.close()
+        b.close()
+
+
 def test_shm_vector_env_matches_inprocess():
     """Same seeds + same actions -> shm-process env == in-process env."""
     from pointnav_vo_tpu.native.shm_env import ShmVectorEnv
