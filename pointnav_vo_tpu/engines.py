@@ -417,6 +417,15 @@ class _BaseRLEngine:
     def train(self):
         cfg = self.config
         envs = self._make_envs()
+        # always release the env fan-out: the shm backend forks
+        # NUM_PROCESSES workers + shm segments per call and daemonized
+        # children only die at interpreter exit — a leak under sweeps
+        try:
+            return self._train_with_envs(cfg, envs)
+        finally:
+            envs.close()
+
+    def _train_with_envs(self, cfg, envs):
         vo = _build_vo_ensemble(cfg) if cfg.RL.TUNE_WITH_VO else None
         trainer = DDPPOTrainer(
             model=self.model, ppo_cfg=self.ppo_cfg, envs=envs,
@@ -567,6 +576,14 @@ class _BaseRLEngine:
     def _eval_checkpoint(self, ckpt_path: Optional[str], num_episodes: Optional[int] = None):
         cfg = self._merged_eval_config(ckpt_path)
         envs = self._make_envs()
+        # fresh envs per checkpoint; close them or a sweep over K
+        # checkpoints leaks K x NUM_PROCESSES shm workers
+        try:
+            return self._eval_ckpt_with_envs(cfg, ckpt_path, num_episodes, envs)
+        finally:
+            envs.close()
+
+    def _eval_ckpt_with_envs(self, cfg, ckpt_path, num_episodes, envs):
         variables = None
         if ckpt_path and os.path.isfile(ckpt_path):
             if ckpt_path.endswith(".pth"):

@@ -356,6 +356,18 @@ class VectorEnv:
         self._paused = []
         self.num_envs = len(self.envs)
 
+    def close(self) -> None:
+        """Release underlying env resources (habitat simulators hold GPU
+        contexts + scene assets; scripted envs hold nothing).  Interface
+        parity with ShmVectorEnv.close so engine code can close any backend
+        unconditionally — the reference leans on habitat.VectorEnv's
+        close_fn (env_utils.py fan-out)."""
+        self.resume_all()
+        for e in self.envs:
+            fn = getattr(e, "close", None)
+            if callable(fn):
+                fn()
+
 
 def _batch_obs(obs_list: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     """Stack a list of obs dicts into batched arrays (misc_utils.py:146-171)."""
