@@ -35,10 +35,20 @@ def test_eval_with_video_and_ranked(tmp_path):
     assert "manifest.json" in ranked and len(ranked) > 1
 
 
-def test_rl_engine_checkpoint_sweep(tmp_path):
-    """Train 2 updates with CHECKPOINT_INTERVAL 1 -> sweep-eval the folder."""
+def test_rl_engine_checkpoint_sweep(tmp_path, monkeypatch):
+    """Train 2 updates with CHECKPOINT_INTERVAL 1 -> sweep-eval the folder.
+
+    Also asserts the engine CLOSES its env fan-out once per train run and
+    once per evaluated checkpoint — on the shm backend a sweep would
+    otherwise leak NUM_PROCESSES worker processes per checkpoint."""
     import pointnav_vo_tpu.engines  # noqa: F401
+    from pointnav_vo_tpu.rl import envs as envs_mod
     from pointnav_vo_tpu.run import main
+
+    closes = []
+    orig_close = envs_mod.VectorEnv.close
+    monkeypatch.setattr(envs_mod.VectorEnv, "close",
+                        lambda self: closes.append(1) or orig_close(self))
 
     log_root = str(tmp_path / "logs")
     overrides = [
@@ -58,9 +68,12 @@ def test_rl_engine_checkpoint_sweep(tmp_path):
     ckpt_dir = os.path.join(run_dir, "checkpoints")
     assert len(os.listdir(ckpt_dir)) == 2
 
+    assert len(closes) == 1  # the train run released its envs
+
     main(["--task-type", "rl", "--run-type", "eval", "--log-root", log_root,
           "--noise", "0", "EVAL.EVAL_CKPT_PATH", ckpt_dir,
           "EVAL.TEST_EPISODE_COUNT", "2"] + overrides)
+    assert len(closes) == 3  # + one per evaluated checkpoint
 
 
 def test_eval_waits_for_checkpoints(tmp_path):
