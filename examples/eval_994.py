@@ -27,11 +27,19 @@ Usage:
 """
 
 import argparse
+import faulthandler
 import json
 import os
+import signal
 import sys
 import tempfile
 import time
+
+# hang forensics: `kill -USR1 <pid>` dumps all Python stacks to stderr, and
+# a 30-min repeating beacon dumps them unprompted — a tunneled device fetch
+# that never returns otherwise leaves a silent, undiagnosable process
+faulthandler.register(signal.SIGUSR1)
+faulthandler.dump_traceback_later(1800, repeat=True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -121,6 +129,10 @@ def main():
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "EVAL_994.json"))
+    ap.add_argument("--vo-cache", default=None,
+                    help="pickle path: save the trained experts there after "
+                         "phase 1, or skip phase 1 entirely if it exists — "
+                         "re-runs of the eval phase then cost only the eval")
     args = ap.parse_args()
 
     env_cfg = EnvConfig(max_episode_steps=args.max_episode_steps,
@@ -129,29 +141,50 @@ def main():
     icfg = VOInferenceConfig(vis_size_w=w, vis_size_h=h, dtype=jnp.bfloat16)
 
     # ---- phase 1: train the deployment VO (full resolution) ---------------
-    t0 = time.perf_counter()
-    workdir = tempfile.mkdtemp(prefix="eval994_")
-    train_h5 = os.path.join(workdir, "train.h5")
-    eval_h5 = os.path.join(workdir, "eval.h5")
-    print(f"generating {args.pairs}+{args.eval_pairs} pairs at {w}x{h} ...",
-          flush=True)
-    generate_scripted_dataset(train_h5, args.pairs, env_cfg=env_cfg, seed=0)
-    generate_scripted_dataset(eval_h5, args.eval_pairs, env_cfg=env_cfg,
-                              seed=99_999)
-    t_data = time.perf_counter() - t0
+    if args.vo_cache and os.path.isfile(args.vo_cache):
+        import pickle
 
-    t0 = time.perf_counter()
-    fwd_vars, fwd_stats = train_expert(
-        icfg, VOTrainConfig(batch_size=args.batch, epochs=args.epochs,
-                            action_type=MOVE_FORWARD, lr=2.5e-4),
-        train_h5, eval_h5, w, h, "forward")
-    joint_vars, joint_stats = train_expert(
-        icfg, VOTrainConfig(batch_size=args.batch, epochs=args.epochs,
-                            action_type=(TURN_LEFT, TURN_RIGHT),
-                            geo_invariance_types=("inverse_joint_train",),
-                            lr=1.5e-4),
-        train_h5, eval_h5, w, h, "joint left/right")
-    t_train = time.perf_counter() - t0
+        with open(args.vo_cache, "rb") as f:
+            cached = pickle.load(f)
+        fwd_vars, joint_vars = cached["fwd_vars"], cached["joint_vars"]
+        fwd_stats, joint_stats = cached["fwd_stats"], cached["joint_stats"]
+        t_data, t_train = cached["t_data"], cached["t_train"]
+        print(f"loaded trained experts from {args.vo_cache}", flush=True)
+    else:
+        t0 = time.perf_counter()
+        workdir = tempfile.mkdtemp(prefix="eval994_")
+        train_h5 = os.path.join(workdir, "train.h5")
+        eval_h5 = os.path.join(workdir, "eval.h5")
+        print(f"generating {args.pairs}+{args.eval_pairs} pairs at {w}x{h} ...",
+              flush=True)
+        generate_scripted_dataset(train_h5, args.pairs, env_cfg=env_cfg, seed=0)
+        generate_scripted_dataset(eval_h5, args.eval_pairs, env_cfg=env_cfg,
+                                  seed=99_999)
+        t_data = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        fwd_vars, fwd_stats = train_expert(
+            icfg, VOTrainConfig(batch_size=args.batch, epochs=args.epochs,
+                                action_type=MOVE_FORWARD, lr=2.5e-4),
+            train_h5, eval_h5, w, h, "forward")
+        joint_vars, joint_stats = train_expert(
+            icfg, VOTrainConfig(batch_size=args.batch, epochs=args.epochs,
+                                action_type=(TURN_LEFT, TURN_RIGHT),
+                                geo_invariance_types=("inverse_joint_train",),
+                                lr=1.5e-4),
+            train_h5, eval_h5, w, h, "joint left/right")
+        t_train = time.perf_counter() - t0
+        if args.vo_cache:
+            import pickle
+
+            with open(args.vo_cache, "wb") as f:
+                pickle.dump({
+                    "fwd_vars": jax.tree.map(np.asarray, fwd_vars),
+                    "joint_vars": jax.tree.map(np.asarray, joint_vars),
+                    "fwd_stats": fwd_stats, "joint_stats": joint_stats,
+                    "t_data": t_data, "t_train": t_train,
+                }, f)
+            print(f"cached trained experts to {args.vo_cache}", flush=True)
 
     fwd = jax.tree.map(lambda x: x[0], fwd_vars)
     left = jax.tree.map(lambda x: x[0], joint_vars)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Callable, Dict, List, Optional
 
@@ -369,8 +370,11 @@ class Evaluator:
         # overlap env simulation with host diagnostics: once the packed
         # fetch lands, next step's actions go to the env farm immediately
         # (step_async) and the per-step numpy bookkeeping runs WHILE the
-        # workers simulate; step_wait at the loop top collects the result
-        can_async = hasattr(envs, "step_async")
+        # workers simulate; step_wait at the loop top collects the result.
+        # PNVO_EVAL_ASYNC=0 forces the synchronous protocol (A/B lever +
+        # kill-switch; trajectories are identical either way)
+        can_async = (hasattr(envs, "step_async")
+                     and os.environ.get("PNVO_EVAL_ASYNC", "1") != "0")
         pending_step = False
 
         obs_dev = self._to_device(obs)
