@@ -219,6 +219,9 @@ def main():
 
     out = {
         "protocol": "exact-episode-set (per-env budgets, distinct keys)",
+        "env_step_protocol": ("async overlap"
+                              if os.environ.get("PNVO_EVAL_ASYNC", "1") != "0"
+                              else "synchronous"),
         "episodes": args.episodes,
         "envs": args.envs,
         "backend": "shm process workers (scripted world)",
