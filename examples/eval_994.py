@@ -220,7 +220,7 @@ def main():
     out = {
         "protocol": "exact-episode-set (per-env budgets, distinct keys)",
         "env_step_protocol": ("async overlap"
-                              if os.environ.get("PNVO_EVAL_ASYNC", "1") != "0"
+                              if os.environ.get("PNVO_EVAL_ASYNC", "0") == "1"
                               else "synchronous"),
         "episodes": args.episodes,
         "envs": args.envs,

@@ -371,10 +371,15 @@ class Evaluator:
         # fetch lands, next step's actions go to the env farm immediately
         # (step_async) and the per-step numpy bookkeeping runs WHILE the
         # workers simulate; step_wait at the loop top collects the result.
-        # PNVO_EVAL_ASYNC=0 forces the synchronous protocol (A/B lever +
-        # kill-switch; trajectories are identical either way)
+        # Measured A/B on the 994-episode artifact (single-core dev box):
+        # async 36.2 min vs sync 25.9 min — env sim and host work only
+        # time-slice on one core, and the overlapped dispatch also inflates
+        # the device phase (878 s vs 519 s). Sync is therefore the DEFAULT;
+        # PNVO_EVAL_ASYNC=1 opts into overlap on multi-core hosts
+        # (trajectories are identical either way — same-seed metrics matched
+        # bit-for-bit across the two runs).
         can_async = (hasattr(envs, "step_async")
-                     and os.environ.get("PNVO_EVAL_ASYNC", "1") != "0")
+                     and os.environ.get("PNVO_EVAL_ASYNC", "0") == "1")
         pending_step = False
 
         obs_dev = self._to_device(obs)
