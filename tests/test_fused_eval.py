@@ -68,3 +68,22 @@ def test_mesh_sharded_eval_matches_single_device():
                 "vo_l2_mean"):
         np.testing.assert_allclose(results[True][key], results[False][key],
                                    rtol=1e-4, err_msg=key)
+
+
+def test_async_env_overlap_matches_sync(monkeypatch):
+    """PNVO_EVAL_ASYNC=1 (step_async/step_wait overlap) must produce the
+    SAME trajectories and aggregates as the default synchronous protocol —
+    the correctness half of the measured 994-episode A/B
+    (EVAL_994_async.json vs EVAL_994.json)."""
+    results = {}
+    for async_flag in ("0", "1"):
+        monkeypatch.setenv("PNVO_EVAL_ASYNC", async_flag)
+        ens, envs, policy = _setup(seed=7, num_envs=3)
+        ev = Evaluator(model=policy, variables={"params": {}}, envs=envs,
+                       vo_ensemble=ens, rng=jax.random.PRNGKey(0), fused=True)
+        results[async_flag] = ev.run(num_episodes=6)
+        envs.close()
+    for key in ("episodes", "success", "spl", "distance_to_goal",
+                "total_env_steps", "vo_l2_mean", "global_drift_mean"):
+        np.testing.assert_allclose(results["1"][key], results["0"][key],
+                                   rtol=0, atol=0, err_msg=key)
