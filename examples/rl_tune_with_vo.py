@@ -126,7 +126,9 @@ def main():
             r = (float(np.mean(trainer.reward_window))
                  if trainer.reward_window else float("nan"))
             print(f"  [gps {update:3d}] mean_ep_reward {r:7.3f}", flush=True)
-    gps_variables = dict(trainer.variables)
+    # DDPPOTrainer pops "params" out of .variables at init; rebuild the full
+    # variables dict (same shape engines.py saves in its RL checkpoints)
+    gps_variables = {"params": trainer.params, **trainer.variables}
 
     # ---- eval: GPS-trained policy under the trained VO -------------------
     print("\nevaluating GPS-trained policy under trained VO ...", flush=True)
@@ -150,8 +152,8 @@ def main():
             print(f"  [tune {update:3d}] mean_ep_reward {r:7.3f}", flush=True)
 
     print("\nevaluating tuned policy under the same VO ...", flush=True)
-    tuned = evaluate(policy, dict(tuner.variables), ensemble, env_cfg,
-                     args.episodes, seed=555)
+    tuned = evaluate(policy, {"params": tuner.params, **tuner.variables},
+                     ensemble, env_cfg, args.episodes, seed=555)
 
     print("\n=== rl_no_tune (GPS-trained, VO-evaluated) vs rl_tune_vo ===")
     for k in ("success", "softspl", "spl", "distance_to_goal", "vo_l2_mean"):

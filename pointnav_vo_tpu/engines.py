@@ -524,25 +524,49 @@ class _BaseRLEngine:
             # driver); 0 = one-shot sweep of what exists now
             target = int(cfg.EVAL.get("WAIT_FOR_CKPTS", 0) or 0)
             poll_s = float(cfg.EVAL.get("CKPT_POLL_INTERVAL_S", 2.0))
+            # f -> (mtime, size, attempts): a file that keeps failing while
+            # its bytes stay put is corrupt, not mid-write — give up on it
+            # after a few stable retries or the poll loop livelocks forever
+            fail_state: Dict[str, tuple] = {}
+            abandoned: set = set()
             while True:
                 # only real checkpoints: a leftover .tmp from an interrupted
                 # atomic save or a stray log must not abort the whole sweep
                 files = [
                     f for f in os.listdir(ckpt_path)
                     if f.startswith("ckpt") and f.endswith((".pkl", ".pth"))
-                    and f not in results
+                    and f not in results and f not in abandoned
                 ]
                 for f in sorted(files, key=lambda f: os.path.getmtime(
                         os.path.join(ckpt_path, f))):
                     p = os.path.join(ckpt_path, f)
                     try:
                         results[f] = self._eval_checkpoint(p, num_episodes)
+                        fail_state.pop(f, None)
                     except (OSError, pickle.UnpicklingError, EOFError) as e:
-                        self.logger.warning(f"skipping unreadable checkpoint {p}: {e}")
                         # unreadable now but possibly mid-write: retry on the
                         # next poll rather than marking it done
                         results.pop(f, None)
-                if len(results) >= target or target <= 0:
+                        try:
+                            st = os.stat(p)
+                            sig = (st.st_mtime, st.st_size)
+                        except OSError:
+                            continue  # deleted between listdir and stat
+                        prev = fail_state.get(f)
+                        attempts = prev[2] + 1 if prev and prev[:2] == sig else 1
+                        fail_state[f] = (*sig, attempts)
+                        if attempts >= 3:
+                            abandoned.add(f)
+                            self.logger.error(
+                                f"abandoning unreadable checkpoint {p} after "
+                                f"{attempts} retries with stable mtime/size: {e}")
+                        else:
+                            self.logger.warning(
+                                f"skipping unreadable checkpoint {p} (retry "
+                                f"{attempts}): {e}")
+                # abandoned files count toward the exit condition so one
+                # corrupt checkpoint can't stall the companion-eval forever
+                if len(results) + len(abandoned) >= target or target <= 0:
                     break
                 _time.sleep(poll_s)
             return results

@@ -29,18 +29,21 @@ import numpy as np
 from pointnav_vo_tpu.native import ShmRing
 from pointnav_vo_tpu.rl.envs import EnvConfig
 
-_N_META = 22  # pointgoal 2 + reward, done, success, spl, softspl, dist,
+_N_META = 23  # pointgoal 2 + reward, done, success, spl, softspl, dist,
 # collisions + gt_delta 3 + agent_pos_episodic 3 + agent_yaw + agent_pos 3
 # + goal_world 3 (world pose + goal feed the drift diagnostics and the
 # top-down-map video overlay — without them the shm backend silently lost
-# both)
+# both) + episodes_available (the worker env's number_of_episodes, -1 for
+# unbounded — episode_budgets must see finite availability on dataset-backed
+# workers like the habitat adapter or the exact-set protocol over-budgets)
 
 
 def _payload_floats(cfg: EnvConfig) -> int:
     return cfg.image_h * cfg.image_w * 4 + _N_META
 
 
-def _encode(buf: np.ndarray, cfg: EnvConfig, obs, reward, done, info) -> None:
+def _encode(buf: np.ndarray, cfg: EnvConfig, obs, reward, done, info,
+            n_eps: Optional[int] = None) -> None:
     hw = cfg.image_h * cfg.image_w
     buf[: hw * 3] = obs["rgb"].reshape(-1)
     buf[hw * 3 : hw * 4] = obs["depth"].reshape(-1)
@@ -58,6 +61,7 @@ def _encode(buf: np.ndarray, cfg: EnvConfig, obs, reward, done, info) -> None:
     m[15] = info.get("agent_yaw", 0.0)
     m[16:19] = info.get("agent_pos", np.zeros(3, np.float32))
     m[19:22] = info.get("goal_world", np.zeros(3, np.float32))
+    m[22] = -1.0 if n_eps is None else float(n_eps)
 
 
 def resolve_env_factory(spec: str):
@@ -79,9 +83,10 @@ def _worker_main(prefix: str, idx: int, cfg: EnvConfig, seed: int,
     env = resolve_env_factory(env_factory)(cfg, seed=seed, **(factory_kwargs or {}))
     buf = np.zeros(_payload_floats(cfg), np.float32)
     act = np.zeros(1, np.float32)
+    n_eps = getattr(env, "number_of_episodes", None)
 
     obs = env.reset()
-    _encode(buf, cfg, obs, 0.0, False, {})
+    _encode(buf, cfg, obs, 0.0, False, {}, n_eps)
     obs_ring.push(buf)
     try:
         while True:
@@ -92,7 +97,7 @@ def _worker_main(prefix: str, idx: int, cfg: EnvConfig, seed: int,
             obs, reward, done, info = env.step(a)
             if done:
                 obs = env.reset()
-            _encode(buf, cfg, obs, reward, done, info)
+            _encode(buf, cfg, obs, reward, done, info, n_eps)
             obs_ring.push(buf)
     finally:
         act_ring.close()
@@ -146,9 +151,14 @@ class ShmVectorEnv:
         return list(self._episode_ids)
 
     def number_of_episodes(self) -> List[Optional[int]]:
-        """Interface parity with VectorEnv.number_of_episodes: the shm
-        workers run unbounded generators, so availability is unlimited."""
-        return [None] * self.num_envs
+        """Interface parity with VectorEnv.number_of_episodes: each worker
+        reports its env's own ``number_of_episodes`` in the payload (-1 =
+        unbounded, e.g. the scripted world); dataset-backed factories like
+        the habitat adapter report their finite count so the exact-set eval
+        protocol budgets correctly on this backend too."""
+        assert not self._first, "call reset() first (counts ride the payload)"
+        vals = self._payload[:, self.cfg.image_h * self.cfg.image_w * 4 + 22]
+        return [None if v < 0 else int(v) for v in vals]
 
     def _decode(self) -> tuple:
         cfg = self.cfg

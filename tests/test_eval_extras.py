@@ -122,6 +122,43 @@ def test_eval_waits_for_checkpoints(tmp_path):
         "ckpt_0.pkl", "ckpt_1.pkl", "ckpt_2.pkl"]
 
 
+def test_eval_polling_abandons_corrupt_checkpoint(tmp_path):
+    """A permanently unreadable checkpoint must not livelock the
+    WAIT_FOR_CKPTS poll loop: after a few retries with stable mtime/size it
+    is abandoned and counts toward the exit condition."""
+    import logging
+    import pickle
+
+    from pointnav_vo_tpu.config.defaults import get_rl_config
+    from pointnav_vo_tpu.engines import _BaseRLEngine
+
+    ckpt_dir = tmp_path / "ckpts"
+    ckpt_dir.mkdir()
+    (ckpt_dir / "ckpt_0.pkl").write_bytes(b"good")
+    (ckpt_dir / "ckpt_1.pkl").write_bytes(b"corrupt-forever")
+
+    cfg = get_rl_config(opts=[
+        "EVAL.EVAL_CKPT_PATH", str(ckpt_dir),
+        "EVAL.WAIT_FOR_CKPTS", "2",
+        "EVAL.CKPT_POLL_INTERVAL_S", "0.01",
+    ])
+    eng = object.__new__(_BaseRLEngine)
+    eng.config = cfg
+    eng.logger = logging.getLogger("test_poll_corrupt")
+    attempts = []
+
+    def fake_eval(p, n=None):
+        if p.endswith("ckpt_1.pkl"):
+            attempts.append(p)
+            raise pickle.UnpicklingError("truncated")
+        return {"ok": 1.0}
+
+    eng._eval_checkpoint = fake_eval
+    results = eng.eval()  # must terminate (pre-fix: spins forever)
+    assert sorted(results) == ["ckpt_0.pkl"]
+    assert len(attempts) == 3  # retried, then abandoned
+
+
 def test_per_episode_results_and_steps():
     """EpisodeResult.steps is the episode's OWN length (VERDICT r2 weak #5)
     and per-episode VO means are finite; Evaluator.results exposes the raw
