@@ -29,13 +29,15 @@ import numpy as np
 from pointnav_vo_tpu.native import ShmRing
 from pointnav_vo_tpu.rl.envs import EnvConfig
 
-_N_META = 23  # pointgoal 2 + reward, done, success, spl, softspl, dist,
+_N_META = 24  # pointgoal 2 + reward, done, success, spl, softspl, dist,
 # collisions + gt_delta 3 + agent_pos_episodic 3 + agent_yaw + agent_pos 3
 # + goal_world 3 (world pose + goal feed the drift diagnostics and the
 # top-down-map video overlay — without them the shm backend silently lost
 # both) + episodes_available (the worker env's number_of_episodes, -1 for
 # unbounded — episode_budgets must see finite availability on dataset-backed
 # workers like the habitat adapter or the exact-set protocol over-budgets)
+# + is_collision (this-step collision flag — the reference's stuck counters
+# are gated on it, ppo_trainer.py:985-998)
 
 
 def _payload_floats(cfg: EnvConfig) -> int:
@@ -62,6 +64,7 @@ def _encode(buf: np.ndarray, cfg: EnvConfig, obs, reward, done, info,
     m[16:19] = info.get("agent_pos", np.zeros(3, np.float32))
     m[19:22] = info.get("goal_world", np.zeros(3, np.float32))
     m[22] = -1.0 if n_eps is None else float(n_eps)
+    m[23] = float(info.get("collisions", {}).get("is_collision", 0))
 
 
 def resolve_env_factory(spec: str):
@@ -143,6 +146,7 @@ class ShmVectorEnv:
         for p in self._procs:
             p.start()
         self._first = True
+        self._reset_called = False
         # host-side episode counters (workers auto-reset; a done transition
         # means the worker moved on to its next episode)
         self._episode_ids = [0] * num_envs
@@ -155,8 +159,14 @@ class ShmVectorEnv:
         reports its env's own ``number_of_episodes`` in the payload (-1 =
         unbounded, e.g. the scripted world); dataset-backed factories like
         the habitat adapter report their finite count so the exact-set eval
-        protocol budgets correctly on this backend too."""
-        assert not self._first, "call reset() first (counts ride the payload)"
+        protocol budgets correctly on this backend too.
+
+        Pre-reset-safe: the counts ride the first worker payload, so if the
+        caller asks before ``reset()`` we pop that payload here and let the
+        later ``reset()`` decode it (habitat ``VectorEnv.number_of_episodes``
+        works pre-reset, ppo_trainer.py:635-646 relies on that order — the
+        r4 assert here broke every fresh-farm eval)."""
+        self._pop_first_payload()
         vals = self._payload[:, self.cfg.image_h * self.cfg.image_w * 4 + 22]
         return [None if v < 0 else int(v) for v in vals]
 
@@ -181,7 +191,8 @@ class ShmVectorEnv:
                 "spl": float(m[i, 5]),
                 "softspl": float(m[i, 6]),
                 "distance_to_goal": float(m[i, 7]),
-                "collisions": {"count": int(m[i, 8])},
+                "collisions": {"count": int(m[i, 8]),
+                               "is_collision": int(m[i, 23] > 0.5)},
                 "gt_delta": m[i, 9:12].copy(),
                 "agent_pos_episodic": m[i, 12:15].copy(),
                 "agent_yaw": float(m[i, 15]),
@@ -192,11 +203,15 @@ class ShmVectorEnv:
         ]
         return obs, rewards, dones, infos
 
-    def reset(self) -> Dict[str, np.ndarray]:
-        assert self._first, "shm workers auto-reset; call reset() once"
-        # Worker construction can take minutes (habitat scene loads), but a
-        # worker that DIES during startup must surface in seconds — poll in
-        # short slices and check process liveness between them.
+    def _pop_first_payload(self) -> None:
+        """Collect each worker's startup payload into ``self._payload``.
+
+        Idempotent.  Worker construction can take minutes (habitat scene
+        loads), but a worker that DIES during startup must surface in
+        seconds — poll in short slices and check process liveness between
+        them."""
+        if not self._first:
+            return
         for i, ring in enumerate(self._obs_rings):
             deadline = 600.0
             while True:
@@ -211,6 +226,11 @@ class ShmVectorEnv:
                     if not self._procs[i].is_alive():
                         self._check_workers(e)
         self._first = False
+
+    def reset(self) -> Dict[str, np.ndarray]:
+        assert not self._reset_called, "shm workers auto-reset; call reset() once"
+        self._pop_first_payload()
+        self._reset_called = True
         obs, _, _, _ = self._decode()
         return obs
 

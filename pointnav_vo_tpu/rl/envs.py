@@ -242,11 +242,13 @@ class ScriptedPointNavEnv:
     def step(self, action: int):
         assert not self.episode_over, "step() called on finished episode"
         self.steps += 1
+        pre_collisions = self.collisions
         if action == STOP:
             self.called_stop = True
             delta = (0.0, 0.0, 0.0)
         else:
             delta = self._apply_action(int(action))
+        is_collision = int(self.collisions > pre_collisions)
 
         cur_dist = self.dist_to_goal
         success = float(self.called_stop and cur_dist < self.cfg.success_distance)
@@ -273,7 +275,11 @@ class ScriptedPointNavEnv:
             "success": success,
             "spl": spl,
             "softspl": softspl,
-            "collisions": {"count": self.collisions},
+            # is_collision: THIS step hit a wall (the reference's stuck
+            # counters are gated on it, ppo_trainer.py:985-998); on a
+            # blocked move the GT translation is exactly 0.0 (above)
+            "collisions": {"count": self.collisions,
+                           "is_collision": is_collision},
             "gt_delta": np.asarray(delta, np.float32),
             "agent_pos": np.asarray([self.pos[0], 0.0, self.pos[1]], np.float32),
             "agent_pos_episodic": np.asarray([ep_x, 0.0, ep_z], np.float32),
@@ -582,7 +588,13 @@ class HabitatNavEnv:
             "success": success,
             "spl": float(metrics.get("spl", 0.0)),
             "softspl": float(metrics.get("softspl", 0.0)),
-            "collisions": {"count": int(collisions["count"])},
+            # is_collision: did THIS step collide — the stuck counters are
+            # gated on it (reference ppo_trainer.py:985-998 reads
+            # infos[i]["collisions"]["is_collision"])
+            "collisions": {
+                "count": int(collisions["count"]),
+                "is_collision": int(collisions.get("is_collision", 0)),
+            },
             "gt_delta": gt_delta,
             "agent_pos": np.asarray(cur_state[0], np.float32),
             "agent_pos_episodic": np.asarray(dstart, np.float32),

@@ -191,6 +191,13 @@ class EpisodeResult:
     vo_pred_std_mean: float = float("nan")
     drift_mean: float = float("nan")
     episode_id: int = -1
+    # completely-stuck counters, reference semantics (ppo_trainer.py:924-930,
+    # 984-998): counted ONLY on collision steps of continuing episodes,
+    # testing the GROUND-TRUTH delta for exact 0.0 — dx/dz independently,
+    # both when both translation components are blocked
+    dx_stuck: int = 0
+    dz_stuck: int = 0
+    both_stuck: int = 0
 
 
 def episode_budgets(num_episodes: int, n_envs: int,
@@ -333,6 +340,11 @@ class Evaluator:
         TPU-friendly static shapes."""
         envs = self.envs
         n = envs.num_envs
+        # reset FIRST: payload-backed fan-outs (ShmVectorEnv) learn their
+        # per-worker episode counts from the first worker payload, so
+        # ``number_of_episodes`` is only meaningful post-reset (r4 regression:
+        # querying it on a fresh shm farm crashed every eval at startup)
+        obs = envs.reset()
         # exact-episode-set protocol: fixed per-env budgets, not
         # completion-order counting (see episode_budgets) — the reference's
         # _pause_envs expressed as masking over a static batch
@@ -346,7 +358,6 @@ class Evaluator:
         # masked out of every metric/diagnostic accumulator below.
         active = budgets > 0
         counted_keys: set = set()
-        obs = envs.reset()
         frames: List[np.ndarray] = []  # env 0 [rgb | map] frames for video
         map_renderer = None
         videos_done = 0
@@ -388,7 +399,11 @@ class Evaluator:
         vo_l2: List[np.ndarray] = []
         vo_std: List[np.ndarray] = []
         drift: List[float] = []
-        stuck = {"dx": 0, "dz": 0, "both": 0}
+        # VO-near-zero diagnostic: live MOVE_FORWARD steps whose PREDICTED
+        # translation is under stuck_thresh.  Named for what it measures —
+        # it is NOT the reference's stuck metric (that one is collision-gated
+        # on the GT delta; see ep_*_stuck below)
+        vo_near_zero = {"dx": 0, "dz": 0, "both": 0}
         # phase wall-clocks (ppo_trainer.py:1101-1128).  In FUSED mode the
         # policy act runs inside the VO mega-step, so act and vo are not
         # separable — that time is reported honestly as one "device" phase
@@ -404,6 +419,11 @@ class Evaluator:
         ep_vo_cnt = np.zeros(n)
         ep_drift_sum = np.zeros(n)
         ep_drift_cnt = np.zeros(n)
+        # per-env completely-stuck counters (reference ppo_trainer.py:984-998:
+        # dx_stuck_cnt/dz_stuck_cnt/both_stuck_cnt), dumped per-episode
+        ep_dx_stuck = np.zeros(n, np.int64)
+        ep_dz_stuck = np.zeros(n, np.int64)
+        ep_both_stuck = np.zeros(n, np.int64)
 
         # fused mega-step path: VO (det bucketed or rnd dropout ensemble) +
         # goal update + NEXT policy act in one jitted dispatch
@@ -461,6 +481,23 @@ class Evaluator:
             steps += int(active.sum())
             ep_steps += 1
             episode_rewards += rewards
+            # completely-stuck counters (ppo_trainer.py:984-998): only on
+            # collision steps of CONTINUING episodes, testing the GT delta
+            # for exact 0.0 (the sim zeroes the blocked translation); dx/dz
+            # increment independently, both when both — reference flags are
+            # not mutually exclusive.  Independent of VO entirely.
+            for i in range(n):
+                info_i = infos[i]
+                if (active[i] and not dones[i]
+                        and int(info_i.get("collisions", {})
+                                .get("is_collision", 0))
+                        and "gt_delta" in info_i):
+                    g = info_i["gt_delta"]
+                    dx0 = float(g[0]) == 0.0
+                    dz0 = float(g[1]) == 0.0
+                    ep_dx_stuck[i] += dx0
+                    ep_dz_stuck[i] += dz0
+                    ep_both_stuck[i] += dx0 and dz0
 
             t0 = time.perf_counter()
             new_obs_dev = self._to_device(new_obs)
@@ -586,11 +623,11 @@ class Evaluator:
                     ep_std_sum += np.where(live, std_np.mean(-1), 0.0)
                     ep_vo_cnt += live
                     fwd = live & (actions_np == MOVE_FORWARD)
-                    dx_stuck = np.abs(delta_np[:, 0]) < self.stuck_thresh
-                    dz_stuck = np.abs(delta_np[:, 1]) < self.stuck_thresh
-                    stuck["dx"] += int((fwd & dx_stuck & ~dz_stuck).sum())
-                    stuck["dz"] += int((fwd & dz_stuck & ~dx_stuck).sum())
-                    stuck["both"] += int((fwd & dx_stuck & dz_stuck).sum())
+                    dx_small = np.abs(delta_np[:, 0]) < self.stuck_thresh
+                    dz_small = np.abs(delta_np[:, 1]) < self.stuck_thresh
+                    vo_near_zero["dx"] += int((fwd & dx_small & ~dz_small).sum())
+                    vo_near_zero["dz"] += int((fwd & dz_small & ~dx_small).sum())
+                    vo_near_zero["both"] += int((fwd & dx_small & dz_small).sum())
 
                 # dead-reckoning drift vs true pose (when the env exposes it)
                 if "agent_pos" in infos[0]:
@@ -655,9 +692,19 @@ class Evaluator:
                     key = info.get("episode_key")
                     key = ((i, int(info.get("episode_id", ep_counted[i])))
                            if key is None else tuple(key))
-                    assert key not in counted_keys, (
-                        f"episode {key} finished twice during exact-set eval "
-                        "— env iterator cycled before its budget was met")
+                    if key in counted_keys:
+                        # a real exception, not `assert` (stripped under -O;
+                        # and a multi-hour eval deserves a diagnosable error):
+                        # a duplicate means the env's episode iterator cycled
+                        # before its budget was met — skipping it can't
+                        # converge (the iterator would only serve more
+                        # duplicates), so fail loudly with context
+                        raise RuntimeError(
+                            f"episode {key} finished twice during exact-set "
+                            f"eval (env {i}, {ep_counted[i]}/{budgets[i]} "
+                            "counted) — env iterator cycled before its "
+                            "budget was met; check number_of_episodes "
+                            "reporting on this backend")
                     counted_keys.add(key)
                     nan = float("nan")
                     results.append(EpisodeResult(
@@ -675,6 +722,9 @@ class Evaluator:
                         drift_mean=(float(ep_drift_sum[i] / ep_drift_cnt[i])
                                     if ep_drift_cnt[i] else nan),
                         episode_id=int(info.get("episode_id", -1)),
+                        dx_stuck=int(ep_dx_stuck[i]),
+                        dz_stuck=int(ep_dz_stuck[i]),
+                        both_stuck=int(ep_both_stuck[i]),
                     ))
                     if log_fn:
                         log_fn(len(results), results[-1])
@@ -687,6 +737,7 @@ class Evaluator:
                 ep_steps[i] = 0
                 ep_vo_sum[i] = ep_std_sum[i] = ep_vo_cnt[i] = 0
                 ep_drift_sum[i] = ep_drift_cnt[i] = 0
+                ep_dx_stuck[i] = ep_dz_stuck[i] = ep_both_stuck[i] = 0
 
             obs_dev = new_obs_dev
             prev_actions = action
@@ -721,6 +772,12 @@ class Evaluator:
             # waits inside the fused fetch, so on a slow link the transfer
             # cost surfaces in time_device_s, not here
             "time_transfer_s": timing["transfer"],
+            # collision-gated GT-zero stuck totals over the counted episodes
+            # (reference episode_stats dx/dz/both_stuck, ppo_trainer.py:
+            # 924-930) — independent of VO, hence outside the vo_l2 block
+            "stuck_dx": float(sum(r.dx_stuck for r in results)),
+            "stuck_dz": float(sum(r.dz_stuck for r in results)),
+            "stuck_both": float(sum(r.both_stuck for r in results)),
         }
         # raw per-episode records for the {ckpt}.infos.p dump
         # (base_trainer.py:139-148) and offline ranked analysis
@@ -730,9 +787,9 @@ class Evaluator:
             agg["vo_l2_mean"] = float(cat.mean())
             agg["vo_l2_max"] = float(cat.max())
             agg["vo_pred_std_mean"] = float(np.concatenate(vo_std).mean())
-            agg["stuck_dx"] = float(stuck["dx"])
-            agg["stuck_dz"] = float(stuck["dz"])
-            agg["stuck_both"] = float(stuck["both"])
+            agg["vo_near_zero_dx"] = float(vo_near_zero["dx"])
+            agg["vo_near_zero_dz"] = float(vo_near_zero["dz"])
+            agg["vo_near_zero_both"] = float(vo_near_zero["both"])
         if drift:
             agg["global_drift_mean"] = float(np.mean(drift))
         if ranked_img_dir and ranked_records:

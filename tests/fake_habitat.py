@@ -122,6 +122,11 @@ class Env:
 
         class _Episode:
             goals = [_Goal()]
+            # real habitat episodes carry a dataset identity — the exact-set
+            # eval protocol keys counted episodes by (scene_id, episode_id),
+            # so the fake must make them distinct per scene partition too
+            scene_id = (self.config.DATASET.CONTENT_SCENES or ["scene0"])[0]
+            episode_id = str(self._core._episode_id)
 
         return _Episode()
 

@@ -131,9 +131,11 @@ class _CyclingEnvs:
 
 
 def test_cycling_iterator_trips_distinctness_assert():
+    # a real RuntimeError, not assert: survives python -O and carries
+    # budget context for the multi-hour-eval post-mortem (ADVICE r4)
     ev = Evaluator(model=ForwardOnlyPolicy(), variables={"params": {}},
                    envs=_CyclingEnvs())
-    with pytest.raises(AssertionError, match="finished twice"):
+    with pytest.raises(RuntimeError, match="finished twice"):
         ev.run(num_episodes=2)
 
 
