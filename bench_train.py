@@ -108,8 +108,12 @@ def run_engine_loop(engine, icfg, tcfg, batch: int,
         engine.train_epoch()  # warm-up: compiles + fills page cache
         stats = engine.train_epoch()
 
-        # decode-only bound: drain the same reader without any device work
-        reader = FramePairReader(**kwargs)
+        # decode-only bound: drain THE SAME reader class as the engine loop
+        # above (ADVICE r4: measuring the serial reader while benchmarking
+        # the parallel one understates the bound and can mislabel
+        # binding_resource)
+        reader = (ParallelDecodeReader(kwargs, num_workers=decode_workers)
+                  if decode_workers > 0 else FramePairReader(**kwargs))
         n_pairs = 0
         t0 = time.perf_counter()
         for b in reader.iter_batches(batch):

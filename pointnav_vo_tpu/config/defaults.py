@@ -113,6 +113,10 @@ def get_rl_config(paths: Optional[List[str]] = None, opts: Optional[list] = None
             # mtime sweep of whatever exists now
             "WAIT_FOR_CKPTS": 0,
             "CKPT_POLL_INTERVAL_S": 2.0,
+            # give up polling after this long with no new checkpoints —
+            # a dead trainer must not hang the companion eval forever
+            # (0 = wait indefinitely)
+            "CKPT_STALE_TIMEOUT_S": 3600.0,
         },
         "RL": {
             "SUCCESS_REWARD": 2.5,

@@ -524,6 +524,12 @@ class _BaseRLEngine:
             # driver); 0 = one-shot sweep of what exists now
             target = int(cfg.EVAL.get("WAIT_FOR_CKPTS", 0) or 0)
             poll_s = float(cfg.EVAL.get("CKPT_POLL_INTERVAL_S", 2.0))
+            # staleness guard (ADVICE r4): if the training job dies before
+            # producing `target` checkpoints, don't poll forever — give up
+            # after this long with zero new checkpoints (0 = wait forever)
+            stale_timeout_s = float(
+                cfg.EVAL.get("CKPT_STALE_TIMEOUT_S", 3600.0))
+            last_progress_t = _time.monotonic()
             # f -> (mtime, size, attempts): a file that keeps failing while
             # its bytes stay put is corrupt, not mid-write — give up on it
             # after a few stable retries or the poll loop livelocks forever
@@ -566,7 +572,18 @@ class _BaseRLEngine:
                                 f"{attempts}): {e}")
                 # abandoned files count toward the exit condition so one
                 # corrupt checkpoint can't stall the companion-eval forever
-                if len(results) + len(abandoned) >= target or target <= 0:
+                done_count = len(results) + len(abandoned)
+                if done_count >= target or target <= 0:
+                    break
+                if files:
+                    last_progress_t = _time.monotonic()
+                elif (stale_timeout_s > 0
+                      and _time.monotonic() - last_progress_t > stale_timeout_s):
+                    self.logger.error(
+                        f"giving up on checkpoint folder {ckpt_path}: no new "
+                        f"checkpoints for {stale_timeout_s:.0f}s with "
+                        f"{done_count}/{target} evaluated — is the training "
+                        "job alive? (EVAL.CKPT_STALE_TIMEOUT_S; 0 disables)")
                     break
                 _time.sleep(poll_s)
             return results
