@@ -13,16 +13,20 @@ on the scripted world:
 
 Reports success / SoftSPL / distance-to-goal for stage-3 vs stage-4 — the
 tune-with-VO improvement the reference's headline table demonstrates
-(README table: -0.9 SPL no-tune -> +1.1 tuned on Gibson val).
+(README table: -0.9 SPL no-tune -> +1.1 tuned on Gibson val) — plus a
+GPS-oracle row (same policy, ground-truth goal) that upper-bounds what any
+VO can deliver, and writes the three-row ladder to `RL_TUNE_VO.json`.
 
 Usage: python examples/rl_tune_with_vo.py [--pairs 3000] [--gps-updates 60]
-       [--tune-updates 40]
+       [--tune-updates 40] [--out RL_TUNE_VO.json]
 """
 
 import argparse
+import json
 import os
 import sys
 import tempfile
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -80,8 +84,12 @@ def main():
     ap.add_argument("--tune-updates", type=int, default=40)
     ap.add_argument("--episodes", type=int, default=48)
     ap.add_argument("--envs", type=int, default=8)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "RL_TUNE_VO.json"))
     args = ap.parse_args()
     s = args.size
+    t_pipeline = time.perf_counter()
 
     env_cfg = EnvConfig(
         image_h=s, image_w=s, max_episode_steps=60,
@@ -130,6 +138,14 @@ def main():
     # variables dict (same shape engines.py saves in its RL checkpoints)
     gps_variables = {"params": trainer.params, **trainer.variables}
 
+    # ---- eval: GPS oracle (same policy, ground-truth goal sensor) --------
+    # the quality upper bound: with vo_ensemble=None the Evaluator feeds the
+    # policy the env's true pointgoal every step — the reference's
+    # "VO nearly matches GPS" comparison needs this control row
+    print("\nevaluating GPS-trained policy under GPS oracle ...", flush=True)
+    gps_oracle = evaluate(policy, gps_variables, None, env_cfg,
+                          args.episodes, seed=555)
+
     # ---- eval: GPS-trained policy under the trained VO -------------------
     print("\nevaluating GPS-trained policy under trained VO ...", flush=True)
     no_tune = evaluate(policy, gps_variables, ensemble, env_cfg,
@@ -155,10 +171,44 @@ def main():
     tuned = evaluate(policy, {"params": tuner.params, **tuner.variables},
                      ensemble, env_cfg, args.episodes, seed=555)
 
-    print("\n=== rl_no_tune (GPS-trained, VO-evaluated) vs rl_tune_vo ===")
-    for k in ("success", "softspl", "spl", "distance_to_goal", "vo_l2_mean"):
+    keys = ("success", "softspl", "spl", "distance_to_goal", "vo_l2_mean")
+    print("\n=== GPS oracle | rl_no_tune (VO-evaluated) | rl_tune_vo ===")
+    for k in keys:
+        o = gps_oracle.get(k, float("nan"))
         a, b = no_tune.get(k, float("nan")), tuned.get(k, float("nan"))
-        print(f"  {k:18s}: {a:7.3f} -> {b:7.3f}")
+        print(f"  {k:18s}: {o:7.3f} | {a:7.3f} -> {b:7.3f}")
+
+    out = {
+        "protocol": ("3-row quality ladder, shared seeds/episodes: "
+                     "(i) GPS-trained policy + GPS oracle goal, "
+                     "(ii) same policy + trained-VO goal (rl_no_tune), "
+                     "(iii) VO-in-the-loop fine-tuned policy + same VO "
+                     "(rl_tune_vo) — reference TRAIN.md stage 4, "
+                     "ppo_trainer.py:206-239"),
+        "world": "scripted (habitat-free), PointNavActorCritic",
+        "resolution": [s, s],
+        "episodes": args.episodes,
+        "envs": args.envs,
+        "vo_pairs": args.pairs,
+        "gps_updates": args.gps_updates,
+        "tune_updates": args.tune_updates,
+        "pipeline_wall_clock_min": (time.perf_counter() - t_pipeline) / 60,
+        "gps_oracle": {k: float(v) for k, v in gps_oracle.items()},
+        "no_tune": {k: float(v) for k, v in no_tune.items()},
+        "tune_vo": {k: float(v) for k, v in tuned.items()},
+        "tune_improvement": {
+            k: float(tuned.get(k, float("nan")) - no_tune.get(k, float("nan")))
+            for k in keys if k in tuned and k in no_tune
+        },
+        "gps_vs_vo_gap_after_tune": {
+            k: float(gps_oracle.get(k, float("nan"))
+                     - tuned.get(k, float("nan")))
+            for k in ("success", "softspl", "spl") if k in tuned
+        },
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"\nwrote {args.out}")
 
 
 if __name__ == "__main__":
