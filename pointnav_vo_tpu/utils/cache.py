@@ -14,6 +14,15 @@ _DEFAULT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__
 
 def enable_persistent_cache(path: str | None = None) -> None:
     path = path or os.environ.get("POINTNAV_VO_TPU_CACHE", _DEFAULT)
+    # PNVO_FORCE_CPU=1: run on host CPU even where the accelerator plugin
+    # ignores the JAX_PLATFORMS env var (the tunneled-TPU image does; only
+    # the config knob is honored).  Every example/tool calls this before
+    # first jit, so this is the one switch that works everywhere.
+    if os.environ.get("PNVO_FORCE_CPU", "0") == "1":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
