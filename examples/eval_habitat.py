@@ -83,13 +83,18 @@ def preflight(args) -> dict:
     loaded = load_policy_checkpoint(rl_ckpt)
     report["rl_ckpt"] = {"path": rl_ckpt,
                          "params": sum(x.size for x in _leaves(loaded["params"]))}
-    for name, path in (("forward", args.vo_forward_ckpt),
-                       ("left_right", args.vo_turn_ckpt)):
+    from pointnav_vo_tpu.common import MOVE_FORWARD, TURN_LEFT, TURN_RIGHT
+
+    # published containers key model_states by action id
+    # (base_trainer_with_vo.py:92-99): act_forward.pth -> {1},
+    # act_left_right_inv_joint.pth -> {2, 3}
+    for name, path, indices in (
+            ("forward", args.vo_forward_ckpt, (MOVE_FORWARD,)),
+            ("left_right", args.vo_turn_ckpt, (TURN_LEFT, TURN_RIGHT))):
         if not os.path.isfile(path):
             raise SystemExit(f"VO checkpoint missing: {path} "
                              "(HABITAT_RUNBOOK.md step 3)")
-        # act_left_right_inv_joint.pth stacks two experts; index each
-        for idx in ((None,) if name == "forward" else (0, 1)):
+        for idx in indices:
             vo = load_vo_checkpoint(path, act_idx=idx)
             report.setdefault("vo_ckpts", {})[f"{name}[{idx}]"] = {
                 "path": path,
@@ -144,15 +149,17 @@ def main():
     if args.no_tune:
         args.rl_ckpt = "pretrained_ckpts/rl/no_tune/rl_no_tune.pth"
 
+    # before the first jax touch (preflight probes jax.devices()): the
+    # compile cache + the PNVO_FORCE_CPU escape hatch both live here
+    from pointnav_vo_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     report = preflight(args)
     print("preflight ok:", json.dumps(report, indent=2, default=str),
           flush=True)
     if args.preflight_only:
         return
-
-    from pointnav_vo_tpu.utils.cache import enable_persistent_cache
-
-    enable_persistent_cache()
 
     from pointnav_vo_tpu.config.defaults import get_rl_config
     from pointnav_vo_tpu.utils import registry
