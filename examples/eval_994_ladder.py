@@ -106,7 +106,9 @@ def train_vo(args, env_cfg, icfg):
         with open(args.vo_cache, "rb") as f:
             c = pickle.load(f)
         print(f"loaded trained VO experts from {args.vo_cache}", flush=True)
-        return c["fwd_vars"], c["joint_vars"], c["t_vo"]
+        # accept eval_994.py caches too (t_data/t_train instead of t_vo)
+        t_vo = c.get("t_vo", c.get("t_data", 0.0) + c.get("t_train", 0.0))
+        return c["fwd_vars"], c["joint_vars"], t_vo
     import tempfile
 
     h, w = env_cfg.image_h, env_cfg.image_w
