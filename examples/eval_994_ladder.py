@@ -40,10 +40,46 @@ import os
 import pickle
 import signal
 import sys
+import threading
 import time
 
 faulthandler.register(signal.SIGUSR1)
 faulthandler.dump_traceback_later(1800, repeat=True)
+
+# ---------------------------------------------------------------------------
+# Stall watchdog: the dev box reaches the TPU through a network tunnel; if
+# the tunnel's far side restarts, an in-flight device read blocks FOREVER
+# (the axon client does not reconnect) and the device-resident training
+# state is gone.  A stalled run can't recover in-process, so: heartbeat on
+# every unit of forward progress, and if none arrives for --watchdog
+# seconds, dump stacks and hard-exit(3) so an outer retry loop relaunches
+# us — the VO cache, policy checkpoint, and completed-row journal below
+# make the relaunch resume rather than restart.
+# ---------------------------------------------------------------------------
+_HB = [time.monotonic()]
+
+
+def beat():
+    _HB[0] = time.monotonic()
+
+
+def start_watchdog(stale_s):
+    if stale_s <= 0:
+        return
+
+    def _watch():
+        while True:
+            time.sleep(30)
+            idle = time.monotonic() - _HB[0]
+            if idle > stale_s:
+                print(f"\nWATCHDOG: no progress for {idle:.0f}s "
+                      f"(limit {stale_s}); device tunnel presumed dead — "
+                      "exiting 3 for the retry loop", flush=True)
+                faulthandler.dump_traceback()
+                sys.stdout.flush()
+                os._exit(3)
+
+    threading.Thread(target=_watch, daemon=True).start()
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -141,14 +177,68 @@ def train_vo(args, env_cfg, icfg):
     return fwd_vars, joint_vars, t_vo
 
 
+def _save_part(path, stage, update, trainer, reward_trend, t_accum):
+    """Atomic mid-training checkpoint (host-side numpy — survives the
+    device tunnel dying, which destroys every device buffer)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump({
+            "stage": stage, "update": update,
+            "params": jax.tree.map(np.asarray, trainer.params),
+            "variables": jax.tree.map(np.asarray, trainer.variables),
+            "opt_state": jax.tree.map(np.asarray, trainer.opt_state),
+            "rng": np.asarray(trainer.rng),
+            "update_idx": trainer.update_idx,
+            "reward_trend": reward_trend, "t_accum": t_accum,
+        }, f)
+    os.replace(tmp, path)
+
+
+def _restore_part(trainer, ck):
+    trainer.params = jax.tree.map(jnp.asarray, ck["params"])
+    trainer.variables = jax.tree.map(jnp.asarray, ck["variables"])
+    trainer.opt_state = jax.tree.map(jnp.asarray, ck["opt_state"])
+    trainer.rng = jnp.asarray(ck["rng"])
+    trainer.update_idx = ck["update_idx"]
+
+
+def _train_stage(stage, trainer, n_updates, start, reward_trend, part,
+                 t_prev, t0):
+    tag = "gps" if stage == "gps" else "tune"
+    for update in range(start + 1, n_updates + 1):
+        trainer.collect_rollout()
+        trainer.update_agent()
+        beat()
+        if update % 10 == 0 or update == 1:
+            r = (float(np.mean(trainer.reward_window))
+                 if trainer.reward_window else float("nan"))
+            reward_trend.append({"update": update, "stage": stage,
+                                 "mean_ep_reward": r})
+            print(f"  [{tag} {update:3d}] mean_ep_reward {r:7.3f}",
+                  flush=True)
+        if part and update % 10 == 0:
+            _save_part(part, stage, update, trainer, reward_trend,
+                       t_prev + time.perf_counter() - t0)
+
+
 def train_policy(args, env_cfg, ensemble):
     """GPS-train PointNavActorCritic at full resolution, then (optionally)
-    fine-tune it with the trained VO in the loop (TRAIN.md stage 4)."""
+    fine-tune it with the trained VO in the loop (TRAIN.md stage 4).
+    Checkpoints every 10 updates to <policy_cache>.part and resumes from it,
+    so a tunnel death costs at most 10 updates."""
     if args.policy_cache and os.path.isfile(args.policy_cache):
         with open(args.policy_cache, "rb") as f:
             c = pickle.load(f)
         print(f"loaded trained policy from {args.policy_cache}", flush=True)
         return c["variables"], c["t_policy"], c["reward_trend"]
+
+    part = (args.policy_cache + ".part") if args.policy_cache else None
+    ck = None
+    if part and os.path.isfile(part):
+        with open(part, "rb") as f:
+            ck = pickle.load(f)
+        print(f"resuming policy training: stage={ck['stage']} "
+              f"update={ck['update']} from {part}", flush=True)
 
     h, w = env_cfg.image_h, env_cfg.image_w
     policy = make_policy(env_cfg)
@@ -162,26 +252,32 @@ def train_policy(args, env_cfg, ensemble):
         room_radius_range=(3.0, 5.0),
     )
     t0 = time.perf_counter()
-    reward_trend = []
-    envs = DepthGoalEnvs(
-        make_scripted_vector_env(train_cfg, args.train_envs, seed=0))
-    trainer = DDPPOTrainer(model=policy, ppo_cfg=pcfg, envs=envs,
-                           rng=jax.random.PRNGKey(0),
-                           total_updates=args.gps_updates)
-    print(f"\nGPS-training the policy: {args.gps_updates} updates x "
-          f"{args.num_steps} steps x {args.train_envs} envs at {w}x{h} ...",
-          flush=True)
-    for update in range(1, args.gps_updates + 1):
-        trainer.collect_rollout()
-        trainer.update_agent()
-        if update % 10 == 0 or update == 1:
-            r = (float(np.mean(trainer.reward_window))
-                 if trainer.reward_window else float("nan"))
-            reward_trend.append({"update": update, "stage": "gps",
-                                 "mean_ep_reward": r})
-            print(f"  [gps {update:3d}] mean_ep_reward {r:7.3f}", flush=True)
-    variables = {"params": trainer.params, **trainer.variables}
-    envs.close()
+    t_prev = ck["t_accum"] if ck else 0.0
+    reward_trend = list(ck["reward_trend"]) if ck else []
+
+    if ck and ck["stage"] in ("gps_done", "tune_vo"):
+        variables = {"params": jax.tree.map(jnp.asarray, ck["params"]),
+                     **jax.tree.map(jnp.asarray, ck["variables"])}
+    else:
+        envs = DepthGoalEnvs(
+            make_scripted_vector_env(train_cfg, args.train_envs, seed=0))
+        trainer = DDPPOTrainer(model=policy, ppo_cfg=pcfg, envs=envs,
+                               rng=jax.random.PRNGKey(0),
+                               total_updates=args.gps_updates)
+        start = 0
+        if ck and ck["stage"] == "gps":
+            _restore_part(trainer, ck)
+            start = ck["update"]
+        print(f"\nGPS-training the policy: {args.gps_updates} updates x "
+              f"{args.num_steps} steps x {args.train_envs} envs at {w}x{h} "
+              f"(from update {start}) ...", flush=True)
+        _train_stage("gps", trainer, args.gps_updates, start, reward_trend,
+                     part, t_prev, t0)
+        variables = {"params": trainer.params, **trainer.variables}
+        if part:
+            _save_part(part, "gps_done", 0, trainer, reward_trend,
+                       t_prev + time.perf_counter() - t0)
+        envs.close()
 
     if args.tune_updates > 0:
         # VO-in-the-loop fine-tune (rl_tune_vo): the policy trains on the
@@ -191,28 +287,26 @@ def train_policy(args, env_cfg, ensemble):
                              rng=jax.random.PRNGKey(1), variables=variables,
                              vo_ensemble=ensemble,
                              total_updates=args.tune_updates)
-        print(f"\nVO-tuning the policy: {args.tune_updates} updates ...",
-              flush=True)
-        for update in range(1, args.tune_updates + 1):
-            tuner.collect_rollout()
-            tuner.update_agent()
-            if update % 10 == 0 or update == 1:
-                r = (float(np.mean(tuner.reward_window))
-                     if tuner.reward_window else float("nan"))
-                reward_trend.append({"update": update, "stage": "tune_vo",
-                                     "mean_ep_reward": r})
-                print(f"  [tune {update:3d}] mean_ep_reward {r:7.3f}",
-                      flush=True)
+        start = 0
+        if ck and ck["stage"] == "tune_vo":
+            _restore_part(tuner, ck)
+            start = ck["update"]
+        print(f"\nVO-tuning the policy: {args.tune_updates} updates "
+              f"(from update {start}) ...", flush=True)
+        _train_stage("tune_vo", tuner, args.tune_updates, start,
+                     reward_trend, part, t_prev, t0)
         variables = {"params": tuner.params, **tuner.variables}
         envs2.close()
 
-    t_policy = time.perf_counter() - t0
+    t_policy = t_prev + time.perf_counter() - t0
     if args.policy_cache:
         with open(args.policy_cache, "wb") as f:
             pickle.dump({"variables": jax.tree.map(np.asarray, variables),
                          "t_policy": t_policy,
                          "reward_trend": reward_trend}, f)
         print(f"cached trained policy to {args.policy_cache}", flush=True)
+        if part and os.path.isfile(part):
+            os.remove(part)
     return variables, t_policy, reward_trend
 
 
@@ -239,6 +333,7 @@ def run_row(name, *, model, variables, ensemble, env_cfg, envs_n, episodes,
         t0 = time.perf_counter()
 
         def progress(k, r):
+            beat()
             if k % 100 == 0 or k == episodes:
                 el = time.perf_counter() - t0
                 print(f"  [{name}] {k}/{episodes} | {el/60:.1f} min | "
@@ -289,6 +384,10 @@ def main():
     ap.add_argument("--vo-cache", default=None)
     ap.add_argument("--policy-cache", default=None)
     ap.add_argument("--out", default=os.path.join(REPO, "EVAL_994_LADDER.json"))
+    ap.add_argument("--watchdog", type=int, default=1200,
+                    help="exit(3) if no progress for this many seconds "
+                         "(0 disables); an outer retry loop resumes from "
+                         "the caches/journal")
     args = ap.parse_args()
 
     env_cfg = EnvConfig(max_episode_steps=args.max_episode_steps,
@@ -298,34 +397,50 @@ def main():
 
     fwd_vars, joint_vars, t_vo = train_vo(args, env_cfg, icfg)
     ensemble = make_ensemble(icfg, fwd_vars, joint_vars)
+    # the watchdog arms only after the (device-free, cache-satisfiable)
+    # dataset stage: a long scripted-world render must not trip it
+    start_watchdog(args.watchdog)
+    beat()
     variables, t_policy, reward_trend = train_policy(args, env_cfg, ensemble)
     policy = make_policy(env_cfg)
 
+    # per-row journal: completed rows survive a watchdog exit / relaunch
+    journal = args.out + ".rows.json"
     rows = {}
+    if os.path.isfile(journal):
+        with open(journal) as f:
+            rows = json.load(f)
+        print(f"journal: {sorted(rows)} rows already done", flush=True)
+
+    def do_row(name, **kw):
+        if name in rows:
+            return
+        beat()
+        rows[name] = run_row(name, **kw)
+        with open(journal + ".tmp", "w") as f:
+            json.dump(rows, f)
+        os.replace(journal + ".tmp", journal)
+
     # deployment condition FIRST: the north-star row measures cold, like the
     # reference's run (its VO+policy never benefit from a prior row's cache)
-    rows["policy_vo"] = run_row(
-        "policy_vo", model=policy, variables=variables,
-        ensemble=make_ensemble(icfg, fwd_vars, joint_vars),
-        env_cfg=env_cfg, envs_n=args.envs, episodes=args.episodes)
-    rows["oracle_gps"] = run_row(
-        "oracle_gps", model=policy, variables=variables, ensemble=None,
-        env_cfg=env_cfg, envs_n=args.envs, episodes=args.episodes)
+    do_row("policy_vo", model=policy, variables=variables,
+           ensemble=make_ensemble(icfg, fwd_vars, joint_vars),
+           env_cfg=env_cfg, envs_n=args.envs, episodes=args.episodes)
+    do_row("oracle_gps", model=policy, variables=variables, ensemble=None,
+           env_cfg=env_cfg, envs_n=args.envs, episodes=args.episodes)
     if not args.skip_greedy:
         greedy = GreedyGoalPolicy(turn_angle_deg=env_cfg.turn_angle_deg,
                                   success_distance=env_cfg.success_distance)
-        rows["greedy_vo"] = run_row(
-            "greedy_vo", model=greedy, variables={"params": {}},
-            ensemble=make_ensemble(icfg, fwd_vars, joint_vars),
-            env_cfg=env_cfg, envs_n=args.envs, episodes=args.episodes)
+        do_row("greedy_vo", model=greedy, variables={"params": {}},
+               ensemble=make_ensemble(icfg, fwd_vars, joint_vars),
+               env_cfg=env_cfg, envs_n=args.envs, episodes=args.episodes)
     if args.rnd_episodes > 0:
         icfg_rnd = VOInferenceConfig(vis_size_w=w, vis_size_h=h,
                                      dtype=jnp.bfloat16, mode="rnd",
                                      rnd_mode_n=10)
-        rows["policy_vo_rnd"] = run_row(
-            "policy_vo_rnd", model=policy, variables=variables,
-            ensemble=make_ensemble(icfg_rnd, fwd_vars, joint_vars),
-            env_cfg=env_cfg, envs_n=args.envs, episodes=args.rnd_episodes)
+        do_row("policy_vo_rnd", model=policy, variables=variables,
+               ensemble=make_ensemble(icfg_rnd, fwd_vars, joint_vars),
+               env_cfg=env_cfg, envs_n=args.envs, episodes=args.rnd_episodes)
 
     pv, og = rows["policy_vo"]["metrics"], rows["oracle_gps"]["metrics"]
     out = {
@@ -361,6 +476,8 @@ def main():
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
+    if os.path.isfile(journal):
+        os.remove(journal)
     print(f"\nwrote {args.out}")
     print(f"north star: policy_vo {rows['policy_vo']['wall_clock_min']:.1f} "
           f"min (target 30) | GPS-vs-VO success gap "
