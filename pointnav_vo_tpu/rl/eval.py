@@ -747,10 +747,13 @@ class Evaluator:
 
         # exact-set postconditions (reference: len(stats_episodes) ==
         # number_of_eval_episodes of DISTINCT dict keys,
-        # vo_cnn_...engine.py:1131-1142's exact-count assert)
-        assert len(results) == num_episodes, (
-            f"counted {len(results)} episodes, expected {num_episodes}")
-        assert len(counted_keys) == num_episodes, "episode keys not distinct"
+        # vo_cnn_...engine.py:1131-1142's exact-count assert); real
+        # exceptions, not `assert` — these must hold under python -O too
+        if len(results) != num_episodes:
+            raise RuntimeError(
+                f"counted {len(results)} episodes, expected {num_episodes}")
+        if len(counted_keys) != num_episodes:
+            raise RuntimeError("episode keys not distinct")
 
         agg = {
             "episodes": float(len(results)),
