@@ -93,3 +93,22 @@ def test_completed_stage_resume_is_noop(tmp_path):
         assert tr.update_idx == 1
     finally:
         envs.close()
+
+
+def test_watchdog_exits_3_on_stall():
+    """The stall watchdog hard-exits(3) when no beat() arrives — the outer
+    retry loop keys on that exit code to relaunch-and-resume."""
+    import subprocess
+
+    code = (
+        "import sys; sys.path.insert(0, %r);\n"
+        "import time\n"
+        "from eval_994_ladder import start_watchdog, beat\n"
+        "beat(); start_watchdog(1)\n"
+        "time.sleep(60)\n"  # never beats again; watchdog polls every 30 s
+        "sys.exit(0)\n" % os.path.join(REPO, "examples")
+    )
+    proc = subprocess.run([sys.executable, "-c", code], timeout=120,
+                          capture_output=True, text=True)
+    assert proc.returncode == 3, proc.stdout + proc.stderr
+    assert "WATCHDOG" in proc.stdout
