@@ -357,3 +357,49 @@ def test_int8_feature_cache_close_to_native():
     diff = np.abs(deltas["int8"] - deltas["native"]).max()
     assert diff < 0.05, diff
     assert np.isfinite(deltas["int8"]).all()
+
+
+def test_predict_step_cached_donation_always_usable():
+    """The steady-state cached step donates prev_feats and XLA must actually
+    reuse the buffer: no 'donated buffers were not usable' warning on the
+    dict-seeded first call (packed outside the step) or any later call
+    (VERDICT r4 item 9 — benign warnings silenced so real ones stand out)."""
+    import warnings
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from pointnav_vo_tpu.vo.ensemble import (
+        VOEnsemble,
+        VOInferenceConfig,
+        frame_features,
+        preprocess_obs_pairs,
+        stack_expert_variables,
+    )
+    from _utils import fast_init
+
+    cfg = VOInferenceConfig(vis_size_w=32, vis_size_h=32)
+    model = cfg.make_model()
+    rng = np.random.default_rng(2)
+    b = 4
+    frames = [
+        (jnp.asarray(rng.uniform(0, 255, (b, 32, 32, 3)), jnp.float32),
+         jnp.asarray(rng.uniform(0, 1, (b, 32, 32, 1)), jnp.float32))
+        for _ in range(4)
+    ]
+    actions = np.asarray([1, 2, 3, 1], np.int32)
+    dummy = {k: v[:1] for k, v in preprocess_obs_pairs(
+        frames[0][0], frames[0][1], frames[1][0], frames[1][1], cfg).items()}
+    ens = VOEnsemble(cfg, stack_expert_variables(
+        [fast_init(model, dummy, train=False, seed=i) for i in range(3)]))
+
+    cache = frame_features(frames[0][0], frames[0][1], cfg)  # legacy dict
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        for rgb, d in frames[1:]:
+            delta, cache = ens.predict_step_cached(cache, rgb, d, actions)
+        jax.block_until_ready(delta)
+    bad = [w for w in caught if "donated buffers" in str(w.message).lower()]
+    assert not bad, [str(w.message) for w in bad]
